@@ -1,0 +1,97 @@
+"""Vectorized restricted-Python expression fields — the engine's
+escape hatch, standing in for the reference's ``enable_ruby`` sandbox
+(``core.rb:252-343``).
+
+The reference ``instance_eval``s a Ruby snippet per event inside a
+cleanroom (Object methods undef'd, ``method_missing`` resolves bare
+names to record keys, ``core.rb:321-342``); an eval failure warns and
+yields nil for the field (``core.rb:315-319``).
+
+Here the snippet is a PYTHON expression evaluated ONCE PER ARROW BATCH
+over ``pandas.Series`` columns (never per row): record columns bind by
+name (the ``method_missing`` analog), plus ``tag``, ``time``,
+``tag_parts`` (a list-valued Series), ``hostname``, ``pd``, ``np``,
+``re`` and a small builtin whitelist. A failing expression yields null
+for the whole field, mirroring nil-on-error.
+
+Example specs::
+
+    python_exprs={"len2": "text.str.len() * 2"}
+    python_exprs={"status": "value.where(value > 0, 0)"}
+"""
+
+from __future__ import annotations
+
+import re as _re
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SAFE_BUILTINS = {
+    "len": len,
+    "str": str,
+    "int": int,
+    "float": float,
+    "bool": bool,
+    "abs": abs,
+    "min": min,
+    "max": max,
+    "round": round,
+    "sum": sum,
+    "sorted": sorted,
+    "zip": zip,
+    "map": map,
+    "range": range,
+    "enumerate": enumerate,
+    "list": list,
+    "dict": dict,
+    "tuple": tuple,
+    "set": set,
+}
+
+
+def python_expr_column(
+    df: DataFrame,
+    expr: str,
+    *,
+    ret_type: str = "string",
+    tag_col: str = "tag",
+    time_col: str = "ts",
+    hostname: str = "",
+    extra_cols: Sequence[str] | None = None,
+) -> Column:
+    """Compile one restricted expression into an Arrow-batched Column.
+
+    The UDF receives all needed columns as ONE struct argument so a
+    single Arrow transfer feeds the whole expression.
+    """
+    cols = list(extra_cols) if extra_cols is not None else list(df.columns)
+    code = compile(expr, "<python_expr>", "eval")  # driver-side syntax check
+
+    @F.pandas_udf(ret_type)
+    def _eval(batch: pd.Series) -> pd.Series:
+        # batch is a pd.DataFrame when the input is a struct column
+        frame: pd.DataFrame = batch  # type: ignore[assignment]
+        env: dict[str, object] = {c: frame[c] for c in frame.columns}
+        if tag_col in frame.columns:
+            env["tag"] = frame[tag_col]
+            env.setdefault(
+                "tag_parts", frame[tag_col].map(lambda t: t.split(".") if t else [])
+            )
+        if time_col in frame.columns:
+            env["time"] = frame[time_col]
+        env.update({"hostname": hostname, "pd": pd, "np": np, "re": _re})
+        try:
+            out = eval(code, {"__builtins__": _SAFE_BUILTINS}, env)
+        except Exception:
+            # nil-on-error, mirrors core.rb:315-319
+            return pd.Series([None] * len(frame))
+        if not isinstance(out, pd.Series):
+            out = pd.Series([out] * len(frame))
+        return out
+
+    struct_cols = [F.col("`%s`" % c).alias(c) for c in cols]
+    return _eval(F.struct(*struct_cols))

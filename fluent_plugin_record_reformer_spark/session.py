@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where engine-wide physical knobs live so tests, bench,
+and the driver entry all run the same configuration:
+
+- AQE on (runtime partition coalescing + skew-join splitting — the
+  always-on half of our skew story; explicit salting in
+  operators/aggregate.py is the other half)
+- UTC session timezone (deterministic ${time} renders + DuckDB parity)
+- Arrow enabled for the pandas-UDF stages
+- shuffle partitions sized to the core count (local mode); on a real
+  cluster this would be ~2-3× total executor cores and AQE coalesces
+  the rest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "record-reformer-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = str(cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) * 2, 8)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
