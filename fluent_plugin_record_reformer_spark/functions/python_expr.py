@@ -91,6 +91,10 @@ def python_expr_column(
             return pd.Series([None] * len(frame))
         if not isinstance(out, pd.Series):
             out = pd.Series([out] * len(frame))
+        if ret_type == "string" and out.dtype != object:
+            # declared-type coercion: stringify non-null values so the
+            # Arrow writer accepts heterogeneous expression results
+            out = out.map(lambda x: None if pd.isna(x) else str(x))
         return out
 
     struct_cols = [F.col("`%s`" % c).alias(c) for c in cols]
