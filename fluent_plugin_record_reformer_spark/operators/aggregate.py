@@ -1,0 +1,88 @@
+"""Aggregate stage: per-sink rollups with explicit skew handling.
+
+The north rule's per-sink aggregate: ``groupBy(bucket(conv_id), role,
+tool, hour(ts)).count()``. Spark's hash aggregate already does
+partial (map-side) combine, so plain counts scale; the explicit
+salting here is for the genuinely skewed cases — a hot conv_id that
+would pin one reducer at 100 TB — and for aggregation functions whose
+partial states are re-aggregable.
+
+Two-phase salted aggregation:
+  phase 1: groupBy(keys + salt) partial aggs  (splits the hot key
+           across `salt_buckets` reducers)
+  phase 2: groupBy(keys) re-aggregate partials
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def conv_bucket(conv_col: str = "conv_id", n_buckets: int = 32) -> Column:
+    """Stable hash bucket of the conversation id — the partition-sizing
+    key from the north rule (hash buckets, not raw conv_id, so sink
+    partitions stay bounded no matter how conversations skew)."""
+    return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
+
+
+def per_sink_counts(
+    df: DataFrame,
+    route_col: str = "route",
+    conv_col: str = "conv_id",
+    time_col: str = "ts",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """groupBy(route, bucket(conv_id), role, tool, hour(ts)).count()."""
+    return (
+        df.groupBy(
+            F.col(route_col),
+            conv_bucket(conv_col, n_buckets).alias("conv_bucket"),
+            F.col("role"),
+            F.col("tool"),
+            F.hour(F.col(time_col)).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
+# aggregation → (phase-1 partial expr, phase-2 merge expr builder)
+_REAGG = {
+    "count": (lambda c: F.count(F.lit(1)), lambda p: F.sum(p)),
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a random-ish (hash-derived,
+    deterministic) salt splitting each group across reducers.
+
+    ``aggs``: out_name → (fn, col) with fn in count/sum/min/max.
+    Result equals the unsalted groupBy exactly — proven by the DuckDB
+    oracle in __spark_entry__ (q_salted_agg vs plain GROUP BY).
+    """
+    # Salt from a high-cardinality deterministic hash so the SAME row
+    # always lands in the same salt bucket (idempotent reruns), while
+    # a hot key's rows spread over all buckets. monotonically_increasing_id
+    # would break determinism across partitioning; hash of all columns
+    # is stable.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial_exprs = []
+    merge_exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn not in _REAGG:
+            raise ValueError(f"aggregation `{fn}` is not re-aggregable")
+        partial, merge = _REAGG[fn]
+        partial_exprs.append(partial(F.col(col) if col else None).alias(f"__p_{out}"))
+        merge_exprs.append(merge(F.col(f"__p_{out}")).alias(out))
+    phase1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
+    return phase1.groupBy(*keys).agg(*merge_exprs)

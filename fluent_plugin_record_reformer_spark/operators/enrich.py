@@ -1,0 +1,54 @@
+"""Enrich stage: broadcast lookup joins against small dimensions.
+
+Generalizes the reference's sole enrichment — the driver-captured
+``${hostname}`` constant (core.rb:82) — to dictionary joins
+(role/tool/host metadata). Dimensions are always broadcast: at 100 TB
+fact scale a shuffle join on a KB-sized dim would be the classic
+anti-pattern; ``F.broadcast`` pins the hash-join side regardless of
+stats/AQE estimates.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def enrich(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Broadcast-join ``dim`` onto ``df``. Left join: an event missing
+    from the dictionary keeps flowing with null enrichment — the
+    pipeline never drops events on enrich (the reference only ever
+    drops on nil tag, core.rb:105)."""
+    return df.join(F.broadcast(dim), on=on, how=how)
+
+
+def role_dim(spark: SparkSession) -> DataFrame:
+    """Built-in role dictionary (deterministic; mirrored in the DuckDB
+    oracle SQL as an inline VALUES table)."""
+    rows = [
+        ("user", "human", 0),
+        ("assistant", "model", 1),
+        ("system", "platform", 2),
+        ("tool", "machine", 3),
+    ]
+    return spark.createDataFrame(rows, "role string, role_kind string, role_rank int")
+
+
+def tool_dim(spark: SparkSession) -> DataFrame:
+    """Built-in tool dictionary."""
+    rows = [
+        ("search", "retrieval", True),
+        ("browser", "retrieval", True),
+        ("python", "compute", False),
+        ("calculator", "compute", False),
+        ("checkout", "commerce", False),
+        ("auth", "identity", False),
+    ]
+    return spark.createDataFrame(rows, "tool string, tool_family string, networked boolean")

@@ -1,0 +1,139 @@
+"""Parse stage: grok/regex extraction of structured fields from text.
+
+The reference delegates parsing to upstream fluentd parsers; the north
+rule pulls it into this engine: each turn's ``text`` is regex/grok
+parsed into typed columns. Two execution paths:
+
+- **Native** (default): one ``regexp_extract`` per field — JVM-side,
+  whole-stage codegen, zero Python. Use for static patterns.
+- **Arrow pandas UDF**: ``pandas.Series.str.extract`` over Arrow
+  batches — for pattern sets chosen per row or grok libraries too
+  dynamic to inline. NEVER per-row Python.
+
+Grok: the classic ``%{PATTERN:field}`` syntax compiled to plain regex
+with a small built-in pattern library (public grok core patterns).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Core grok patterns (subset of the public grok base library).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"[a-zA-Z0-9](?:[a-zA-Z0-9_\-]{0,62}(?:\.[a-zA-Z0-9_\-]{1,63})*)?",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|CRITICAL)",
+    "QUOTEDSTRING": r'"[^"]*"',
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(grok: str) -> tuple[str, list[str]]:
+    """Compile a ``%{PATTERN:field}`` grok expression to (regex,
+    field-names). Unnamed refs inline without capturing."""
+    fields: list[str] = []
+
+    def _sub(m: re.Match) -> str:
+        pat, name = m.group(1), m.group(2)
+        if pat not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{pat}}}")
+        body = GROK_PATTERNS[pat]
+        if name:
+            fields.append(name)
+            return f"({body})"
+        return f"(?:{body})"
+
+    return _GROK_REF.sub(_sub, grok), fields
+
+
+def regex_parse(
+    df: DataFrame,
+    pattern: str,
+    source_col: str = "text",
+    fields: Optional[Sequence[str]] = None,
+    types: Optional[dict[str, str]] = None,
+    drop_source: bool = False,
+) -> DataFrame:
+    """Extract capture groups of ``pattern`` into columns, JVM-side.
+
+    ``fields`` names the capture groups in order; with Python named
+    groups ``(?P<name>...)`` names are inferred. ``types`` optionally
+    casts fields (try_cast — parse failures null, never error).
+    """
+    if fields is None:
+        fields = list(re.compile(pattern).groupindex.keys())
+        if not fields:
+            raise ValueError("pattern has no named groups and no `fields` given")
+    java_pattern = pattern.replace("(?P<", "(?<")
+    cols: dict[str, Column] = {}
+    for i, name in enumerate(fields, start=1):
+        col = F.regexp_extract(F.col(source_col), java_pattern, i)
+        # regexp_extract yields "" on no-match; normalize to null like
+        # a real parser (and like grok) would.
+        col = F.when(col == "", F.lit(None)).otherwise(col)
+        if types and name in types:
+            col = col.try_cast(types[name])
+        cols[name] = col
+    out = df.withColumns(cols)
+    return out.drop(source_col) if drop_source else out
+
+
+def grok_parse(
+    df: DataFrame,
+    grok: str,
+    source_col: str = "text",
+    types: Optional[dict[str, str]] = None,
+    drop_source: bool = False,
+) -> DataFrame:
+    """Grok-syntax front end over :func:`regex_parse`."""
+    pattern, fields = grok_to_regex(grok)
+    return regex_parse(
+        df, pattern, source_col=source_col, fields=fields, types=types, drop_source=drop_source
+    )
+
+
+def pandas_regex_parse(
+    df: DataFrame,
+    pattern: str,
+    source_col: str = "text",
+    fields: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Arrow-batched extraction via ``Series.str.extract`` — one
+    pattern pass per batch instead of one JVM regex per field. Use
+    when the field count is large enough that N× regexp_extract loses
+    to a single vectorized pass, or the pattern needs Python-regex
+    features Java lacks.
+    """
+    rx = re.compile(pattern)
+    if fields is None:
+        fields = list(rx.groupindex.keys())
+    if not fields:
+        raise ValueError("pattern has no named groups and no `fields` given")
+    schema = ", ".join(f"`{f}` string" for f in fields)
+
+    @F.pandas_udf(f"struct<{schema}>")
+    def _extract(s: pd.Series) -> pd.DataFrame:
+        got = s.str.extract(rx)
+        got.columns = list(fields)[: len(got.columns)]
+        return got
+
+    out = df.withColumn("__parsed", _extract(F.col(source_col)))
+    for f_ in fields:
+        out = out.withColumn(f_, F.col("__parsed").getField(f_))
+    return out.drop("__parsed")

@@ -1,0 +1,174 @@
+"""Tests for the parse / enrich / route / aggregate stages."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fluent_plugin_record_reformer_spark.operators.aggregate import (
+    per_sink_counts,
+    salted_agg,
+)
+from fluent_plugin_record_reformer_spark.operators.enrich import enrich, role_dim
+from fluent_plugin_record_reformer_spark.operators.parse import (
+    grok_parse,
+    grok_to_regex,
+    pandas_regex_parse,
+    regex_parse,
+)
+from fluent_plugin_record_reformer_spark.operators.route import (
+    Route,
+    RouteTable,
+    glob_to_regex,
+    write_fanout,
+)
+from fluent_plugin_record_reformer_spark.sources.transcripts import (
+    synth_transcripts,
+    with_tag,
+)
+
+TS = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+# ------------------------------------------------------------------ parse
+
+
+def test_grok_to_regex():
+    rx, fields = grok_to_regex("event=%{WORD:etype} value=%{NUMBER:val}")
+    assert fields == ["etype", "val"]
+    assert rx == r"event=(\w+) value=([+-]?\d+(?:\.\d+)?)"
+
+
+def test_regex_parse_native(spark):
+    df = spark.createDataFrame(
+        [Row(text="event=view value=1.5 props={}"), Row(text="garbage")]
+    )
+    out = regex_parse(
+        df,
+        r"event=(?P<etype>\w+) value=(?P<val>[\d.]+)",
+        types={"val": "double"},
+    ).orderBy(F.col("etype").asc_nulls_last())
+    rows = out.collect()
+    assert rows[0]["etype"] == "view" and rows[0]["val"] == 1.5
+    assert rows[1]["etype"] is None and rows[1]["val"] is None  # no-match → null
+
+
+def test_grok_parse_matches_regex_parse(spark):
+    df = spark.createDataFrame([Row(text="event=click value=2 props={\"k\": 3}")])
+    a = grok_parse(df, "event=%{WORD:etype} value=%{NUMBER:val} props=%{GREEDYDATA:props_raw}")
+    row = a.first()
+    assert (row["etype"], row["val"], row["props_raw"]) == ("click", "2", '{"k": 3}')
+
+
+def test_pandas_regex_parse_agrees_with_native(spark):
+    tr = synth_transcripts(spark, n_convs=30, seed=3)
+    pat = r"turn=(?P<t>\d+) role=(?P<r>\w+)"
+    native = regex_parse(tr, pat).select("conv_id", "turn_idx", "t", "r")
+    arrow = pandas_regex_parse(tr, pat).select("conv_id", "turn_idx", "t", "r")
+    assert sorted(map(tuple, native.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+# ------------------------------------------------------------------ route
+
+
+@pytest.mark.parametrize(
+    "pattern,tag,match",
+    [
+        ("a.*", "a.b", True),
+        ("a.*", "a", False),
+        ("a.*", "a.b.c", False),
+        ("a.**", "a", True),
+        ("a.**", "a.b.c", True),
+        ("a.**", "b.a", False),
+        ("**", "anything.at.all", True),
+        ("a.{b,c}.*", "a.c.x", True),
+        ("a.{b,c}.*", "a.d.x", False),
+        ("reformed.transcripts.*.none", "reformed.transcripts.user.none", True),
+    ],
+)
+def test_glob_semantics(pattern, tag, match):
+    import re
+
+    assert bool(re.match(glob_to_regex(pattern), tag)) is match
+
+
+def test_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [Row(tag="app.user.x", v=1), Row(tag="app.tool.y", v=2), Row(tag="other", v=3)]
+    )
+    table = RouteTable(
+        [Route("users", "app.user.**"), Route("everything_app", "app.**"), Route("rest", "**")]
+    )
+    got = {r["tag"]: r["route"] for r in table.assign(df).collect()}
+    assert got == {"app.user.x": "users", "app.tool.y": "everything_app", "other": "rest"}
+
+
+def test_write_fanout_single_pass(spark, tmp_path):
+    tr = with_tag(synth_transcripts(spark, n_convs=50, seed=11))
+    table = RouteTable(
+        [
+            Route("user_turns", "transcripts.user.**"),
+            Route("assistant_turns", "transcripts.assistant.**"),
+            Route("other_turns", "transcripts.**"),
+        ]
+    )
+    base = str(tmp_path / "sinks")
+    write_fanout(tr, table, base, mode="overwrite")
+    back = spark.read.parquet(base)
+    counts = {r["route"]: r["n"] for r in back.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    want = {r["route"]: r["n"] for r in table.assign(tr).groupBy("route").agg(F.count("*").alias("n")).collect()}
+    assert counts == want
+    assert set(counts) == {"user_turns", "assistant_turns", "other_turns"}
+    # partition pruning: reading one route must not scan others
+    one = spark.read.parquet(base).filter(F.col("route") == "user_turns")
+    assert one.count() == counts["user_turns"]
+
+
+# ------------------------------------------------------------------ enrich
+
+
+def test_enrich_broadcast_left_join(spark):
+    tr = synth_transcripts(spark, n_convs=20, seed=5)
+    out = enrich(tr, role_dim(spark), on="role")
+    assert out.count() == tr.count()  # left join never drops
+    kinds = {r["role"]: r["role_kind"] for r in out.select("role", "role_kind").distinct().collect()}
+    assert kinds["user"] == "human" and kinds["assistant"] == "model"
+    # the physical plan must broadcast the dim
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------- aggregate
+
+
+def test_per_sink_counts_matches_plain_groupby(spark):
+    tr = with_tag(synth_transcripts(spark, n_convs=60, seed=13))
+    table = RouteTable([Route("u", "transcripts.user.**"), Route("rest", "**")])
+    routed = table.assign(tr)
+    agg = per_sink_counts(routed, n_buckets=8)
+    assert agg.groupBy().sum("n_turns").first()[0] == tr.count()
+    # counts within a route must equal a direct filter-count
+    u_total = (
+        agg.filter(F.col("route") == "u").groupBy().sum("n_turns").first()[0]
+    )
+    assert u_total == routed.filter(F.col("route") == "u").count()
+
+
+def test_salted_agg_equals_plain(spark):
+    tr = synth_transcripts(spark, n_convs=80, seed=17)
+    plain = {
+        (r["role"],): (r["n"], r["mx"])
+        for r in tr.groupBy("role")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["role"],): (r["n"], r["mx"])
+        for r in salted_agg(
+            tr, ["role"], {"n": ("count", ""), "mx": ("max", "turn_idx")}, salt_buckets=7
+        ).collect()
+    }
+    assert plain == salted
