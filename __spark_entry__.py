@@ -1,38 +1,406 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator of the engine (SURVEY.md §2)
+run over the driver's testdata tables; ``oracle_sql()`` carries the
+equivalent DuckDB SQL. Every computed column is aliased identically on
+both sides (the driver sorts columns by name before value-hashing).
+
+The transcript table required by BASELINE.json's input_hint
+(conv_id, turn_idx, role, text, tool, ts) is derived DETERMINISTICALLY
+from the ``events`` testdata table — pure column ops + one window —
+so both engines reproduce it bit-for-bit (no external data).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluent_plugin_record_reformer_spark import ReformContext, TransformSpec, reform
+from fluent_plugin_record_reformer_spark.operators.aggregate import salted_agg
+from fluent_plugin_record_reformer_spark.operators.enrich import enrich, role_dim
+from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+from fluent_plugin_record_reformer_spark.operators.route import Route, RouteTable
+from fluent_plugin_record_reformer_spark.sources.tables import load_table
+from fluent_plugin_record_reformer_spark.sources.transcripts import (
+    transcripts_from_events,
+    with_tag,
+)
+
+HOSTNAME = "reformer-host"  # fixed so both engines agree (vs core.rb:82)
+
+# ---------------------------------------------------------------------------
+# Transcript derivation — shared CTE for every oracle (DuckDB dialect).
+# Keep in sync with sources/transcripts.transcripts_from_events.
+# ---------------------------------------------------------------------------
+TRANSCRIPTS_CTE = """
+WITH transcripts AS (
+  SELECT
+    printf('conv-%04d', user_id) AS conv_id,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+    CASE WHEN event_type IN ('click','view') THEN 'user'
+         WHEN event_type IN ('purchase','signup') THEN 'assistant'
+         ELSE 'system' END AS role,
+    printf('event=%s value=%.2f props=%s', event_type, value, props) AS text,
+    CASE WHEN event_type = 'purchase' THEN 'checkout'
+         WHEN event_type = 'signup' THEN 'auth' ELSE NULL END AS tool,
+    ts
+  FROM events
+), tagged AS (
+  SELECT *, 'transcripts.' || role || '.' || coalesce(tool, 'none') AS tag
+  FROM transcripts
+)
+"""
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(load_table(spark, sf_dir, "events"))
+
+
+def _tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_tag(_transcripts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + derive: the input table of the engine (input_hint shape)."""
+    return _transcripts(spark, sf_dir)
+
+
+def q_tag_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #4: tag_parts / tag_prefix / tag_suffix placeholders
+    (core.rb:86-88,163-180) compiled to array exprs."""
+    from fluent_plugin_record_reformer_spark.plans.compiler import template_column
+
+    df = _tagged(spark, sf_dir)
+    ctx = ReformContext(hostname=HOSTNAME)
+    cols = df.columns
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "tag",
+        template_column("${tag_parts[-1]}", ctx, cols).alias("last_part"),
+        template_column("${tag_prefix[1]}", ctx, cols).alias("prefix1"),
+        template_column("${tag_suffix[-2]}", ctx, cols).alias("suffix2"),
+    )
+
+
+def q_reform_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators #5,#6,#8,#9,#12: the README flagship spec — placeholder
+    expansion, add fields, tag rewrite, remove_keys (README.md:23-58)."""
+    spec = TransformSpec(
+        tag="reformed.${tag_prefix[-2]}",
+        record={
+            "hostname": "${hostname}",
+            "input_tag": "${tag}",
+            "last_tag": "${tag_parts[-1]}",
+            "message": "${record['text']}, yay!",
+        },
+        remove_keys=["text"],
+    )
+    out = reform(_tagged(spark, sf_dir), spec, ReformContext(hostname=HOSTNAME))
+    return out.select(
+        "conv_id", "turn_idx", "tag", "hostname", "input_tag", "last_tag", "message"
+    )
+
+
+def q_reform_renew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators #8 renew_record + keep_keys + auto_typecast native
+    passthrough (core.rb:136-137, tests :126-188,:459-511)."""
+    spec = TransformSpec(
+        tag="renewed.${tag_parts[0]}",
+        renew_record=True,
+        keep_keys=["conv_id", "turn_idx"],
+        record={"idx_native": "${record['turn_idx']}", "who": "${record['role']}"},
+        auto_typecast=True,
+    )
+    out = reform(_tagged(spark, sf_dir), spec, ReformContext(hostname=HOSTNAME))
+    return out.select("tag", "conv_id", "turn_idx", "idx_native", "who")
+
+
+def q_renew_time_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #10: event time := record field as unix seconds, field
+    removed afterwards (core.rb:106-109, CHANGELOG 0.8.3 ordering)."""
+    df = _tagged(spark, sf_dir).withColumn(
+        "epoch_shift", F.unix_timestamp("ts") + F.lit(3600)
+    )
+    spec = TransformSpec(
+        tag="timeshift.${tag}",
+        renew_time_key="epoch_shift",
+        remove_keys=["epoch_shift", "text"],
+    )
+    out = reform(df, spec, ReformContext(hostname=HOSTNAME))
+    return out.select("conv_id", "turn_idx", "tag", F.col("ts").alias("shifted_ts"))
+
+
+ROUTES = RouteTable(
+    [
+        Route("user_turns", "transcripts.user.**"),
+        Route("assistant_auth", "transcripts.assistant.auth"),
+        Route("assistant_rest", "transcripts.assistant.**"),
+        Route("ops", "**"),
+    ]
+)
+
+
+def q_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #13: tag-glob routing, first match wins (core.rb:110 +
+    fluentd match semantics); per-sink row counts."""
+    routed = ROUTES.assign(_tagged(spark, sf_dir))
+    return routed.groupBy("route").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_per_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule aggregate: groupBy(route, conv bucket, role, tool,
+    hour(ts)).count() — portable bucket so DuckDB reproduces it."""
+    routed = ROUTES.assign(_tagged(spark, sf_dir))
+    return routed.groupBy(
+        "route",
+        (F.substring("conv_id", 6, 4).cast("int") % 8).alias("conv_bucket"),
+        "role",
+        "tool",
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_turns"))
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation — must equal the plain
+    GROUP BY oracle exactly (north rule: explicit salting)."""
+    return salted_agg(
+        _transcripts(spark, sf_dir),
+        ["role"],
+        {"n_turns": ("count", ""), "max_turn": ("max", "turn_idx")},
+        salt_buckets=16,
+    )
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse stage: grok %{WORD}/%{NUMBER}/%{GREEDYDATA} → typed fields,
+    JVM-side regexp_extract (north rule: batched regex, no per-row
+    Python)."""
+    out = grok_parse(
+        _transcripts(spark, sf_dir),
+        "event=%{WORD:etype} value=%{NUMBER:val} props=%{GREEDYDATA:props_raw}",
+        types={"val": "double"},
+    )
+    return out.select("conv_id", "turn_idx", "etype", "val", "props_raw")
+
+
+def q_enrich_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich stage: broadcast lookup join against the role dictionary
+    (generalizes ${hostname}, core.rb:82)."""
+    out = enrich(_transcripts(spark, sf_dir), role_dim(spark), on="role")
+    return out.groupBy("role", "role_kind", "role_rank").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+
+
+def q_python_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """enable_ruby analog (#7): vectorized restricted-Python field over
+    Arrow batches (core.rb:252-343 → pandas_udf)."""
+    spec = TransformSpec(
+        tag="expr.${tag}",
+        python_exprs={"text_len": "text.str.len()"},
+    )
+    out = reform(_tagged(spark, sf_dir), spec, ReformContext(hostname=HOSTNAME))
+    return out.select(
+        "conv_id", "turn_idx", F.col("text_len").cast("int").alias("text_len")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic rollup on the raw events stream (scan → agg pushdown)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text; keeper = min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace tokens + BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: length / punctuation / stopword ratio features."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0))
+    n_words = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all("text", F.lit(r"\b(the|and|of|to|a|in)\b"), 0)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias(
+            "stop_ratio"
+        ),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "transcripts": q_transcripts,
+    "tag_decompose": q_tag_decompose,
+    "reform_flagship": q_reform_flagship,
+    "reform_renew": q_reform_renew,
+    "renew_time_key": q_renew_time_key,
+    "route_fanout": q_route_fanout,
+    "per_sink_counts": q_per_sink_counts,
+    "salted_agg": q_salted_agg,
+    "grok_parse": q_grok_parse,
+    "enrich_roles": q_enrich_roles,
+    "python_expr": q_python_expr,
+    "events_hourly": q_events_hourly,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+}
+
+ORACLES: dict[str, str] = {
+    "transcripts": TRANSCRIPTS_CTE + "SELECT * FROM transcripts",
+    "tag_decompose": TRANSCRIPTS_CTE
+    + """
+    SELECT conv_id, turn_idx, tag,
+           coalesce(tool,'none')                     AS last_part,
+           'transcripts.' || role                    AS prefix1,
+           role || '.' || coalesce(tool,'none')      AS suffix2
+    FROM tagged
+    """,
+    "reform_flagship": TRANSCRIPTS_CTE
+    + f"""
+    SELECT conv_id, turn_idx,
+           'reformed.transcripts.' || role AS tag,
+           '{HOSTNAME}'                    AS hostname,
+           tag                             AS input_tag,
+           coalesce(tool,'none')           AS last_tag,
+           text || ', yay!'                AS message
+    FROM tagged
+    """,
+    "reform_renew": TRANSCRIPTS_CTE
+    + """
+    SELECT 'renewed.transcripts' AS tag, conv_id, turn_idx,
+           turn_idx AS idx_native, role AS who
+    FROM tagged
+    """,
+    "renew_time_key": TRANSCRIPTS_CTE
+    + """
+    SELECT conv_id, turn_idx, 'timeshift.' || tag AS tag,
+           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) + 3600)::TIMESTAMP AS shifted_ts
+    FROM tagged
+    """,
+    "route_fanout": TRANSCRIPTS_CTE
+    + """
+    SELECT CASE WHEN role = 'user' THEN 'user_turns'
+                WHEN role = 'assistant' AND tool = 'auth' THEN 'assistant_auth'
+                WHEN role = 'assistant' THEN 'assistant_rest'
+                ELSE 'ops' END AS route,
+           count(*) AS n_rows
+    FROM tagged GROUP BY 1
+    """,
+    "per_sink_counts": TRANSCRIPTS_CTE
+    + """
+    SELECT CASE WHEN role = 'user' THEN 'user_turns'
+                WHEN role = 'assistant' AND tool = 'auth' THEN 'assistant_auth'
+                WHEN role = 'assistant' THEN 'assistant_rest'
+                ELSE 'ops' END AS route,
+           CAST(substr(conv_id, 6, 4) AS INTEGER) % 8 AS conv_bucket,
+           role, tool,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           count(*) AS n_turns
+    FROM tagged GROUP BY 1, 2, 3, 4, 5
+    """,
+    "salted_agg": TRANSCRIPTS_CTE
+    + """
+    SELECT role, count(*) AS n_turns, max(turn_idx) AS max_turn
+    FROM transcripts GROUP BY role
+    """,
+    "grok_parse": TRANSCRIPTS_CTE
+    + r"""
+    SELECT conv_id, turn_idx,
+           regexp_extract(text, 'event=(\w+) value=([+-]?\d+(?:\.\d+)?) props=(.*)', 1) AS etype,
+           CAST(regexp_extract(text, 'event=(\w+) value=([+-]?\d+(?:\.\d+)?) props=(.*)', 2) AS DOUBLE) AS val,
+           regexp_extract(text, 'event=(\w+) value=([+-]?\d+(?:\.\d+)?) props=(.*)', 3) AS props_raw
+    FROM transcripts
+    """,
+    "enrich_roles": TRANSCRIPTS_CTE
+    + """
+    SELECT t.role, d.role_kind, d.role_rank, count(*) AS n_turns
+    FROM transcripts t
+    JOIN (VALUES ('user','human',0), ('assistant','model',1),
+                 ('system','platform',2), ('tool','machine',3))
+         AS d(role, role_kind, role_rank)
+      ON t.role = d.role
+    GROUP BY 1, 2, 3
+    """,
+    "python_expr": TRANSCRIPTS_CTE
+    + """
+    SELECT conv_id, turn_idx, CAST(length(text) AS INTEGER) AS text_len
+    FROM transcripts
+    """,
+    "events_hourly": """
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "dedup_exact": """
+    SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    "token_count": r"""
+    SELECT doc_id,
+           len(str_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    "quality_score": r"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           round(len(regexp_extract_all(text, '[^\w\s]')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           round(len(regexp_extract_all(text, '\b(the|and|of|to|a|in)\b'))
+                 / CAST(greatest(len(regexp_extract_all(text, '[a-z]+')), 1) AS DOUBLE), 4) AS stop_ratio
+    FROM documents
+    """,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_reform_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)
