@@ -23,10 +23,29 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fluent_plugin_record_reformer_spark import ReformContext, TransformSpec, reform
+from fluent_plugin_record_reformer_spark.functions import oracle_mirrors as om
+from fluent_plugin_record_reformer_spark.functions.hashing import poly_fingerprint
+from fluent_plugin_record_reformer_spark.functions.text import (
+    language_id,
+    language_id_oracle_sql,
+    shingles,
+    word_tokens,
+)
 from fluent_plugin_record_reformer_spark.operators.aggregate import salted_agg
+from fluent_plugin_record_reformer_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh,
+    minhash_signature,
+    with_simhash,
+)
 from fluent_plugin_record_reformer_spark.operators.enrich import enrich, role_dim
 from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
 from fluent_plugin_record_reformer_spark.operators.route import Route, RouteTable
+from fluent_plugin_record_reformer_spark.operators.similarity import (
+    cosine_topk,
+    signbit_ann_topk,
+)
 from fluent_plugin_record_reformer_spark.sources.tables import load_table
 from fluent_plugin_record_reformer_spark.sources.transcripts import (
     transcripts_from_events,
@@ -229,6 +248,48 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+E2E_ROUTES = RouteTable(
+    [
+        Route("user_sink", "reformed.transcripts.user"),
+        Route("assistant_sink", "reformed.transcripts.assistant"),
+        Route("ops_sink", "**"),
+    ]
+)
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule headline: the FULL parse -> enrich -> reform -> route ->
+    aggregate chain as one Catalyst plan. grok parse of text, broadcast
+    role-dim join, placeholder reform + tag rewrite, glob routing on the
+    rewritten tag, per-sink groupBy(count, sum) rollup."""
+    parsed = grok_parse(
+        _tagged(spark, sf_dir),
+        "event=%{WORD:etype} value=%{NUMBER:val} props=%{GREEDYDATA:props_raw}",
+        types={"val": "double"},
+    )
+    enriched = enrich(parsed, role_dim(spark), on="role")
+    spec = TransformSpec(
+        tag="reformed.${tag_prefix[-2]}",
+        record={
+            "hostname": "${hostname}",
+            "message": "${record['etype']} by ${record['role_kind']}",
+        },
+        remove_keys=["text", "props_raw"],
+    )
+    out = reform(enriched, spec, ReformContext(hostname=HOSTNAME))
+    routed = E2E_ROUTES.assign(out)
+    return routed.groupBy(
+        "route",
+        "etype",
+        "message",
+        (F.substring("conv_id", 6, 4).cast("int") % 8).alias("conv_bucket"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on full text; keeper = min doc_id."""
     docs = load_table(spark, sf_dir, "documents")
@@ -268,6 +329,70 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+MINHASH_K, LSH_BANDS, SHINGLE_N = 16, 4, 3
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: MinHash(16) -> LSH(4 bands x 4 rows) bucket
+    self-join -> exact shingle-Jaccard on the candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    banded = minhash_lsh(
+        docs, num_hashes=MINHASH_K, bands=LSH_BANDS, shingle_n=SHINGLE_N
+    )
+    pairs = lsh_candidate_pairs(banded)
+    return jaccard_pairs(docs, pairs, shingle_n=SHINGLE_N)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) document fingerprints, one fold per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_simhash(docs, bits=16).select("doc_id", "simhash")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: Rabin-Karp rolling hash over chars +
+    winnowed min shingle digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        poly_fingerprint("text").alias("poly_fp"),
+        minhash_signature(F.col("text"), num_hashes=1, shingle_n=SHINGLE_N)[0].alias(
+            "winnow_fp"
+        ),
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic vs the labeled lang col."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", language_id(word_tokens("text")).alias("lang_pred")
+    )
+
+
+def _knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector (brute force baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _knn_queries(spark, sf_dir), k=5)
+
+
+def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5: sign-bit hyperplane LSH bucket join + exact re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return signbit_ann_topk(emb, _knn_queries(spark, sf_dir), k=5, planes=6)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -281,10 +406,123 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_roles": q_enrich_roles,
     "python_expr": q_python_expr,
     "events_hourly": q_events_hourly,
+    "pipeline_e2e": q_pipeline_e2e,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "fingerprint": q_fingerprint,
+    "language_id": q_language_id,
+    "knn_brute": q_knn_brute,
+    "knn_ann": q_knn_ann,
 }
+
+
+def _docs_dedup_ctes() -> str:
+    """Shared CTEs: tokens -> shingles -> base hashes -> minhash
+    signature -> bands (mirrors operators/dedup.minhash_lsh stages)."""
+    toks = om.sql_word_tokens("text")
+    sh = om.sql_shingles("t", SHINGLE_N)
+    base = om.sql_shingle_base_hash("s")
+    sig = ", ".join(om.sql_minhash_affine("barr", i) for i in range(MINHASH_K))
+    rows = MINHASH_K // LSH_BANDS
+    bands = ", ".join(
+        f"{om.sql_band_key('sig', j, rows)} AS bk{j}" for j in range(LSH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, bk{j} AS bucket FROM bands"
+        for j in range(LSH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), shing AS (
+  SELECT doc_id, {sh} AS s FROM toks
+), based AS (
+  SELECT doc_id, {base} AS barr, list_distinct(s) AS sset FROM shing
+), sigs AS (
+  SELECT doc_id, [{sig}] AS sig, sset FROM based
+), bands AS ( SELECT doc_id, {bands} FROM sigs
+), banded AS ( {band_rows} )
+"""
+
+
+ORACLE_MINHASH = (
+    _docs_dedup_ctes()
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band_idx, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(sa.sset, sb.sset))::DOUBLE /
+             (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))),
+             4) AS jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_a
+JOIN sigs sb ON sb.doc_id = p.id_b
+"""
+)
+
+ORACLE_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, {om.sql_word_tokens("text")} AS t FROM documents
+), v AS (
+  SELECT doc_id, {om.sql_simhash_votes("t", 16)} AS votes FROM toks
+)
+SELECT doc_id, {om.sql_votes_collapse("votes", 16)} AS simhash FROM v
+"""
+
+ORACLE_FINGERPRINT = f"""
+WITH toks AS (
+  SELECT doc_id, text, {om.sql_word_tokens("text")} AS t FROM documents
+), shing AS (
+  SELECT doc_id, text, {om.sql_shingles("t", SHINGLE_N)} AS s FROM toks
+)
+SELECT doc_id,
+       {om.sql_poly_fingerprint("text")} AS poly_fp,
+       {om.sql_minhash("s", 0)} AS winnow_fp
+FROM shing
+"""
+
+ORACLE_KNN_BRUTE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({om.sql_cosine("e.embedding", "q.query_vec", 64)}, 4) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER
+      (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLE_KNN_ANN = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec,
+         {om.sql_signbit_bucket("embedding", 6)} AS bucket
+  FROM embeddings WHERE vec_id < 3
+), v AS (
+  SELECT vec_id, embedding, {om.sql_signbit_bucket("embedding", 6)} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, v.vec_id,
+         round({om.sql_cosine("v.embedding", "q.query_vec", 64)}, 4) AS cos_sim
+  FROM v JOIN q USING (bucket)
+  WHERE v.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER
+      (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
 
 ORACLES: dict[str, str] = {
     "transcripts": TRANSCRIPTS_CTE + "SELECT * FROM transcripts",
@@ -372,6 +610,32 @@ ORACLES: dict[str, str] = {
            count(*) AS n_events, round(sum(value), 2) AS sum_value
     FROM events GROUP BY 1, 2
     """,
+    "pipeline_e2e": TRANSCRIPTS_CTE
+    + r"""
+    , parsed AS (
+      SELECT tagged.*,
+             regexp_extract(text, 'event=(\w+) value=([+-]?\d+(?:\.\d+)?) props=(.*)', 1) AS etype,
+             CAST(regexp_extract(text, 'event=(\w+) value=([+-]?\d+(?:\.\d+)?) props=(.*)', 2) AS DOUBLE) AS val
+      FROM tagged
+    ), enriched AS (
+      SELECT p.*, d.role_kind
+      FROM parsed p
+      LEFT JOIN (VALUES ('user','human'), ('assistant','model'),
+                        ('system','platform'), ('tool','machine'))
+           AS d(role, role_kind) ON p.role = d.role
+    )
+    SELECT CASE WHEN 'reformed.transcripts.' || role = 'reformed.transcripts.user' THEN 'user_sink'
+                WHEN 'reformed.transcripts.' || role = 'reformed.transcripts.assistant' THEN 'assistant_sink'
+                ELSE 'ops_sink' END AS route,
+           etype,
+           etype || ' by ' || role_kind AS message,
+           CAST(substr(conv_id, 6, 4) AS INTEGER) % 8 AS conv_bucket,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           count(*) AS n_turns,
+           round(sum(val), 2) AS sum_val
+    FROM enriched
+    GROUP BY 1, 2, 3, 4, 5
+    """,
     "dedup_exact": """
     SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
     FROM documents GROUP BY text
@@ -390,6 +654,16 @@ ORACLES: dict[str, str] = {
                  / CAST(greatest(len(regexp_extract_all(text, '[a-z]+')), 1) AS DOUBLE), 4) AS stop_ratio
     FROM documents
     """,
+    "minhash_lsh_pairs": ORACLE_MINHASH,
+    "simhash": ORACLE_SIMHASH,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "language_id": f"""
+    SELECT doc_id, lang,
+           {language_id_oracle_sql("text")} AS lang_pred
+    FROM documents
+    """,
+    "knn_brute": ORACLE_KNN_BRUTE,
+    "knn_ann": ORACLE_KNN_ANN,
 }
 
 

@@ -1,0 +1,126 @@
+"""DuckDB-SQL mirrors of the portable hashing/text/similarity column
+functions (functions/hashing.py, functions/text.py,
+operators/dedup.py, operators/similarity.py).
+
+Every generator returns a SQL *expression string* that reproduces the
+corresponding Spark Column BIT-FOR-BIT on DuckDB — this is what makes
+the driver's value-hash correctness gate meaningful for the dedup /
+similarity / fingerprint operators. Fold order is kept identical
+(left-to-right with an explicit prepended zero, matching Spark's
+``F.aggregate`` semantics) so even float sums agree to the last ULP.
+"""
+
+from __future__ import annotations
+
+from .hashing import MINHASH_P, POLY_BASE, POLY_MOD, affine_consts
+from .text import WORD_RE
+
+
+def sql_word_tokens(text_expr: str) -> str:
+    return f"regexp_extract_all(lower({text_expr}), '{WORD_RE}')"
+
+
+def sql_shingles(tokens_expr: str, n: int) -> str:
+    grams = (
+        f"list_transform(range(1, len({tokens_expr}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' '))"
+    )
+    whole = f"[array_to_string({tokens_expr}, ' ')]"
+    return f"CASE WHEN len({tokens_expr}) >= {n} THEN {grams} ELSE {whole} END"
+
+
+def sql_minhash(shingles_expr: str, seed: int) -> str:
+    return (
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> md5('{seed}' || '|' || s)))"
+    )
+
+
+def sql_shingle_base_hash(shingles_expr: str) -> str:
+    """Mirror of hashing.shingle_base_hash over a shingle list."""
+    return (
+        f"list_transform({shingles_expr}, "
+        f"s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {MINHASH_P})"
+    )
+
+
+def sql_minhash_affine(base_expr: str, i: int) -> str:
+    """Mirror of the affine universal-hash minhash row i."""
+    a, b = affine_consts(i)
+    return (
+        f"list_min(list_transform({base_expr}, "
+        f"x -> (x * {a} + {b}) % {MINHASH_P}))"
+    )
+
+
+def sql_band_key(sig_expr: str, band: int, rows_per_band: int) -> str:
+    lo = band * rows_per_band + 1
+    hi = band * rows_per_band + rows_per_band
+    return (
+        f"md5('{band}' || '|' || "
+        f"array_to_string(list_slice({sig_expr}, {lo}, {hi}), '|'))"
+    )
+
+
+def sql_poly_fingerprint(text_expr: str) -> str:
+    codes = f"list_transform(string_split({text_expr}, ''), c -> ascii(c))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), "
+        f"(acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})"
+    )
+
+
+def sql_simhash_votes(tokens_expr: str, bits: int = 16) -> str:
+    """Mirror of dedup.simhash_votes: fold the token md5 digests into a
+    vote vector (use in a CTE, then collapse with sql_votes_collapse)."""
+    # +-1 vote for bit b of digest d (4 bits per lowercase hex char)
+    vote = (
+        "((CAST(floor((strpos('0123456789abcdef', substr(md5(t), 1 + b // 4, 1)) - 1)"
+        " / power(2, b % 4)) AS BIGINT) % 2) * 2 - 1)"
+    )
+    votes_of_token = f"list_transform(range(0, {bits}), b -> {vote})"
+    token_votes = f"list_transform({tokens_expr}, t -> {votes_of_token})"
+    zero = f"list_transform(range(0, {bits}), b -> CAST(0 AS BIGINT))"
+    return (
+        f"list_reduce(list_prepend({zero}, {token_votes}), "
+        f"(acc, v) -> list_transform(range(1, {bits + 1}), i -> acc[i] + v[i]))"
+    )
+
+
+def sql_votes_collapse(votes_col: str, bits: int = 16) -> str:
+    """Mirror of dedup.votes_to_simhash over a vote-vector column."""
+    return " + ".join(
+        f"(CASE WHEN {votes_col}[{b + 1}] > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+
+
+def sql_dot(a_expr: str, b_expr: str, dim: int) -> str:
+    prods = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a_expr}[i] AS DOUBLE) * CAST({b_expr}[i] AS DOUBLE))"
+    )
+    return f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+
+
+def sql_l2_norm(a_expr: str, dim: int) -> str:
+    sqs = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a_expr}[i] AS DOUBLE) * CAST({a_expr}[i] AS DOUBLE))"
+    )
+    return f"sqrt(list_reduce(list_prepend(0.0, {sqs}), (acc, x) -> acc + x))"
+
+
+def sql_cosine(a_expr: str, b_expr: str, dim: int) -> str:
+    return (
+        f"({sql_dot(a_expr, b_expr, dim)} / "
+        f"({sql_l2_norm(a_expr, dim)} * {sql_l2_norm(b_expr, dim)}))"
+    )
+
+
+def sql_signbit_bucket(vec_expr: str, planes: int) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {vec_expr}[{d + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for d in range(planes)
+    )
+    return f"({bits})"

@@ -22,6 +22,7 @@ Example specs::
 
 from __future__ import annotations
 
+import ast
 import re as _re
 from typing import Sequence
 
@@ -68,8 +69,26 @@ def python_expr_column(
     The UDF receives all needed columns as ONE struct argument so a
     single Arrow transfer feeds the whole expression.
     """
-    cols = list(extra_cols) if extra_cols is not None else list(df.columns)
     code = compile(expr, "<python_expr>", "eval")  # driver-side syntax check
+    # Column pruning for the Arrow transfer: ship ONLY the columns the
+    # expression references (Catalyst can't prune inside a UDF struct
+    # arg, so we do it at compile time — at 100 TB, shipping unused
+    # text/blob columns through Arrow would dominate the stage).
+    referenced = {
+        n.id for n in ast.walk(ast.parse(expr, mode="eval")) if isinstance(n, ast.Name)
+    }
+    if extra_cols is not None:
+        cols = list(extra_cols)
+    else:
+        cols = [c for c in df.columns if c in referenced]
+    want_tag_parts = "tag_parts" in referenced
+    if ("tag" in referenced or want_tag_parts) and tag_col in df.columns:
+        if tag_col not in cols:
+            cols.append(tag_col)
+    if "time" in referenced and time_col in df.columns and time_col not in cols:
+        cols.append(time_col)
+    if not cols:  # constant expression: still need one column for batch length
+        cols = [df.columns[0]]
 
     @F.pandas_udf(ret_type)
     def _eval(batch: pd.Series) -> pd.Series:
@@ -78,9 +97,11 @@ def python_expr_column(
         env: dict[str, object] = {c: frame[c] for c in frame.columns}
         if tag_col in frame.columns:
             env["tag"] = frame[tag_col]
-            env.setdefault(
-                "tag_parts", frame[tag_col].map(lambda t: t.split(".") if t else [])
-            )
+            if want_tag_parts:
+                env.setdefault(
+                    "tag_parts",
+                    frame[tag_col].map(lambda t: t.split(".") if t else []),
+                )
         if time_col in frame.columns:
             env["time"] = frame[time_col]
         env.update({"hostname": hostname, "pd": pd, "np": np, "re": _re})

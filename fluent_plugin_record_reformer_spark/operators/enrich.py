@@ -29,6 +29,33 @@ def enrich(
     return df.join(F.broadcast(dim), on=on, how=how)
 
 
+def values_dim(spark: SparkSession, rows: Sequence[tuple], colspec: str) -> DataFrame:
+    """Build a small dimension as a pure-JVM ``VALUES`` relation.
+
+    ``spark.createDataFrame(python_rows)`` would back the frame with a
+    Python RDD — broadcasting it then spins up a Python worker per
+    partition just to ship a handful of rows. A SQL ``VALUES`` literal
+    stays entirely JVM-side (LocalRelation: zero tasks, zero Python)."""
+
+    def lit(v: object) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    names = [c.strip().split()[0] for c in colspec.split(",")]
+    values = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    raw = spark.sql(f"SELECT * FROM VALUES {values} AS t({', '.join(names)})")
+    casts = [
+        f"CAST({name} AS {' '.join(c.strip().split()[1:])}) AS {name}"
+        for name, c in zip(names, colspec.split(","))
+    ]
+    return raw.selectExpr(*casts)
+
+
 def role_dim(spark: SparkSession) -> DataFrame:
     """Built-in role dictionary (deterministic; mirrored in the DuckDB
     oracle SQL as an inline VALUES table)."""
@@ -38,7 +65,7 @@ def role_dim(spark: SparkSession) -> DataFrame:
         ("system", "platform", 2),
         ("tool", "machine", 3),
     ]
-    return spark.createDataFrame(rows, "role string, role_kind string, role_rank int")
+    return values_dim(spark, rows, "role string, role_kind string, role_rank int")
 
 
 def tool_dim(spark: SparkSession) -> DataFrame:
@@ -51,4 +78,4 @@ def tool_dim(spark: SparkSession) -> DataFrame:
         ("checkout", "commerce", False),
         ("auth", "identity", False),
     ]
-    return spark.createDataFrame(rows, "tool string, tool_family string, networked boolean")
+    return values_dim(spark, rows, "tool string, tool_family string, networked boolean")

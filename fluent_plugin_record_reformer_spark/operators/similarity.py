@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small)
+  query set against the vector table, cosine as a pure Column fold
+  (zip_with + aggregate, JVM codegen, no Python), per-query top-k via a
+  window. At 100 TB the scan dominates; the crossjoin is
+  |vectors| x |queries| with queries broadcast, so it parallelizes
+  perfectly and shuffles only |queries| x k rows for the final top-k.
+- ``signbit_ann_topk``: the scale path — axis-aligned hyperplane LSH:
+  bucket = sign bits of the leading ``planes`` dimensions. Queries
+  only join their own bucket (equality join on the bucket key ->
+  hash-partitionable, prunable), trading recall for a |bucket|-sized
+  candidate set. sign() is exactly portable (no float-sum ordering
+  issues in the bucket key), so the DuckDB oracle reproduces buckets
+  bit-for-bit.
+
+Determinism notes for the oracle gate: cosine sums floats — both
+engines fold the 64-dim product left-to-right over doubles, and scores
+are rounded to 4 decimals; ranking ties break by vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of the elementwise product, in doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force top-k neighbours per query (cosine)."""
+    joined = vectors.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def signbit_bucket(vec: Column, *, planes: int) -> Column:
+    """LSH bucket key: concatenated sign bits (>=0 -> 1) of the first
+    ``planes`` dimensions. Exactly portable across engines."""
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(vec, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in range(planes)
+        ],
+    )
+
+
+def signbit_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign-bit bucket
+    (equality join on the bucket key), exact cosine re-rank inside."""
+    v = vectors.withColumn("_bucket", signbit_bucket(F.col(vec_col), planes=planes))
+    q = queries.withColumn(
+        "_bucket", signbit_bucket(F.col(query_vec_col), planes=planes)
+    )
+    joined = v.join(F.broadcast(q), "_bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -30,9 +30,14 @@ def get_spark(
     cpus = str(cpus)
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) * 2, 8)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # local mode = everything in the driver JVM; the 1g default would
+        # evict caches and thrash GC long before the 128 GiB box is used.
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
