@@ -169,7 +169,8 @@ def run_scaling_worker(cpus: int, sf_dir: str, replicate: int) -> dict:
             F.round(F.sum("val"), 2).alias("sum_val"),
         )
 
-        agg.write.format("noop").mode("overwrite").save()  # codegen/JIT warmup
+        for _ in range(2):  # codegen/JIT warmup to steady state
+            agg.write.format("noop").mode("overwrite").save()
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -199,7 +200,7 @@ def run_scaling(sf_dir: str) -> dict:
     SPARK_GRAFT_SCALING_CORES="8,32"."""
     pair = os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8")
     lo, hi = (int(x) for x in pair.split(","))
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
     results: dict[int, dict] = {}
     # Interleave the levels (lo,hi,lo,hi) and keep each level's best JVM:
     # the sandbox hypervisor drifts +-30% across minutes, so consecutive

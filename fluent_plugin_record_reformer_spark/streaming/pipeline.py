@@ -1,0 +1,107 @@
+"""Structured Streaming mode: the same compiled reform spec + route
+table, run incrementally.
+
+The reference is an at-arrival stream transform — each event is
+reformed and re-emitted independently, no state, no watermarks, no
+late-data handling (core.rb:98-112 loops a chunk; renew_time_key even
+rewrites event time arbitrarily, core.rb:106-108). That maps 1:1 onto
+a STATELESS Structured Streaming pipeline: ``readStream -> reform ->
+route -> partitioned file sink`` with exactly-once via the sink's
+checkpoint/WAL — micro-batch chunks stand in for fluentd chunks.
+
+On top of that (north rule: per-sink aggregates), ``windowed_counts``
+adds the stateful rollup — event-time windows with a watermark bounding
+state, the Spark-idiomatic replacement for "aggregate downstream of the
+router". Batch and streaming share the SAME spec compiler and route
+compiler; only the source/sink bindings differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..operators.reform import ReformContext, reform
+from ..operators.route import UNMATCHED, RouteTable
+from ..plans.spec import TransformSpec
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str | StructType = TRANSCRIPT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a transcript directory. The file source
+    tracks processed files in the checkpoint — the streaming analog of
+    plans/lineage.py's manifest."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def reform_fanout_stream(
+    stream: DataFrame,
+    spec: TransformSpec,
+    ctx: ReformContext,
+    routes: RouteTable,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    tag_col: str = "tag",
+    available_now: bool = False,
+    drop_unmatched: bool = True,
+) -> StreamingQuery:
+    """reform -> route -> ONE partitioned exactly-once file sink.
+
+    Identical single-pass fan-out shape as the batch write_fanout: the
+    route column is the partition key, so N sinks never mean N scans.
+    ``available_now=True`` drains the backlog then stops (used by tests
+    and backfills); omit it for a continuous query.
+    """
+    reformed = reform(stream, spec, ctx)
+    routed = routes.assign(reformed, tag_col)
+    if drop_unmatched:
+        routed = routed.filter(F.col("route") != UNMATCHED)
+    writer = (
+        routed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("route")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts_stream(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("role",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful per-sink rollup: event-time windowed counts with a
+    watermark bounding state (late rows beyond the watermark are
+    dropped — the documented contract, not an accident). Append-mode
+    compatible: windows finalize once the watermark passes them."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_turns",
+        )
+    )

@@ -1,0 +1,212 @@
+"""End-to-end tests for checkpointed lineage resume, the streaming
+pipeline, and the multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fluent_plugin_record_reformer_spark import (  # noqa: E402
+    ReformContext,
+    TransformSpec,
+)
+from fluent_plugin_record_reformer_spark.operators.multimodal import (  # noqa: E402
+    decode_image_features,
+    media_metadata_stats,
+    sample_video_frames,
+)
+from fluent_plugin_record_reformer_spark.operators.route import (  # noqa: E402
+    Route,
+    RouteTable,
+)
+from fluent_plugin_record_reformer_spark.plans.lineage import (  # noqa: E402
+    checkpointed_fanout,
+    load_manifest,
+    read_all_batches,
+)
+from fluent_plugin_record_reformer_spark.sources.tables import load_table  # noqa: E402
+from fluent_plugin_record_reformer_spark.sources.transcripts import (  # noqa: E402
+    transcripts_from_events,
+    with_tag,
+)
+from fluent_plugin_record_reformer_spark.streaming.pipeline import (  # noqa: E402
+    read_transcript_stream,
+    reform_fanout_stream,
+    windowed_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+ROUTES = RouteTable(
+    [
+        Route("users", "transcripts.user.**"),
+        Route("rest", "**"),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return with_tag(transcripts_from_events(load_table(spark, SF, "events")))
+
+
+@pytest.fixture(scope="module")
+def split_inputs(spark, transcripts, tmp_path_factory):
+    """The transcript table as two separate parquet inputs."""
+    base = tmp_path_factory.mktemp("inputs")
+    p1, p2 = str(base / "part1"), str(base / "part2")
+    transcripts.filter("turn_idx % 2 = 0").write.parquet(p1)
+    transcripts.filter("turn_idx % 2 = 1").write.parquet(p2)
+    return [p1, p2]
+
+
+def test_checkpointed_fanout_resumes_idempotently(spark, transcripts, split_inputs, tmp_path):
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+    ident = lambda df: df  # noqa: E731
+
+    r1 = checkpointed_fanout(spark, split_inputs[:1], ident, ROUTES, out, man)
+    assert r1["processed"] == 1 and r1["skipped"] == 0
+    assert r1["n_rows"] > 0
+
+    # second run over BOTH inputs: only the new one is processed
+    r2 = checkpointed_fanout(spark, split_inputs, ident, ROUTES, out, man)
+    assert r2["processed"] == 1 and r2["skipped"] == 1
+
+    # third run: full no-op
+    r3 = checkpointed_fanout(spark, split_inputs, ident, ROUTES, out, man)
+    assert r3["processed"] == 0 and r3["skipped"] == 2
+
+    # data equals the direct batch pipeline exactly (no dup, no loss)
+    got = read_all_batches(spark, out)
+    assert got.count() == transcripts.count()
+    per_route = {r["route"]: r["n"] for r in got.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want_users = transcripts.filter(F.col("tag").rlike("^transcripts\\.user\\.")).count()
+    assert per_route["users"] == want_users
+    assert per_route["users"] + per_route["rest"] == transcripts.count()
+
+    # manifest carries per-input lineage metrics that add up
+    entries = load_manifest(man)
+    assert set(entries) == set(split_inputs)
+    assert sum(e.n_rows for e in entries.values()) == transcripts.count()
+    assert all(sum(e.per_route.values()) == e.n_rows for e in entries.values())
+
+
+def test_streaming_fanout_matches_batch(spark, transcripts, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    transcripts.drop("tag").write.parquet(src)
+
+    spec = TransformSpec(
+        tag="reformed.${tag_prefix[-2]}",
+        record={"message": "${record['text']}!"},
+        remove_keys=["text"],
+    )
+    ctx = ReformContext(hostname="stream-host")
+    stream = with_tag(read_transcript_stream(spark, src))
+    q = reform_fanout_stream(
+        stream,
+        spec,
+        ctx,
+        RouteTable([Route("sys", "reformed.transcripts.system"), Route("rest", "**")]),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == transcripts.count()
+    n_sys = transcripts.filter("role = 'system'").count()
+    assert got.filter("route = 'sys'").count() == n_sys
+    assert "message" in got.columns and "text" not in got.columns
+
+    # exactly-once on restart: re-running the drained stream adds nothing
+    q2 = reform_fanout_stream(
+        stream,
+        spec,
+        ctx,
+        RouteTable([Route("sys", "reformed.transcripts.system"), Route("rest", "**")]),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == transcripts.count()
+
+
+def test_streaming_windowed_counts(spark, transcripts, tmp_path):
+    src = str(tmp_path / "src")
+    transcripts.drop("tag").write.parquet(src)
+    stream = read_transcript_stream(spark, src)
+    agg = windowed_counts_stream(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_counts")
+    want = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    assert got.count() == want.count()
+    assert got.agg(F.sum("n_turns")).first()[0] == transcripts.count()
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, "image" if i % 2 == 0 else "video", "fake", 64 + i, 48 + i, 3500 * (i % 3 + 1), bytes([i]) * 32)
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, codec string, width int, height int, duration_ms int, payload binary",
+    )
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark, media):
+    with pytest.raises(Exception) as ei:
+        decode_image_features(media).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_multimodal_image_features_deterministic(spark, media):
+    imgs = media.filter("kind = 'image'")
+    out1 = decode_image_features(imgs, fake_decoder=True).orderBy("media_id").collect()
+    out2 = decode_image_features(imgs, fake_decoder=True).orderBy("media_id").collect()
+    assert out1 == out2
+    assert len(out1) == imgs.count()
+    assert all(0.0 <= r["mean_r"] <= 1.0 and len(r["phash"]) == 16 for r in out1)
+
+
+def test_multimodal_frame_sampling_expands(spark, media):
+    vids = media.filter("kind = 'video'")
+    frames = sample_video_frames(vids, every_ms=1000, fake_decoder=True)
+    per_vid = {r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {r["media_id"]: max(r["duration_ms"] // 1000, 1) for r in vids.collect()}
+    assert per_vid == want
+
+
+def test_multimodal_metadata_scan_prunes_payload(spark, media, tmp_path):
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    stats = media_metadata_stats(spark.read.parquet(path))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # blob column pruned from the scan
+    assert stats.count() == 2
