@@ -119,9 +119,11 @@ def minhash_lsh(
         a, b = affine_consts(i)
         return lambda x: (x * a + b) % MINHASH_P
 
-    sh = ensure_compute_parallelism(df).select(
-        F.col(id_col),
-        shingles(word_tokens(F.col(text_col)), shingle_n).alias("_sh"),
+    toks = ensure_compute_parallelism(df).select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+    )
+    sh = toks.select(
+        F.col(id_col), shingles(F.col("_toks"), shingle_n).alias("_sh")
     )
     base = sh.select(
         F.col(id_col),
@@ -195,11 +197,13 @@ def jaccard_pairs(
     |A u B| = |A| + |B| - |A n B| on distinct shingle sets, so only
     array_distinct + array_intersect sizes cross the join.
     """
-    sets = ensure_compute_parallelism(df).select(
-        F.col(id_col),
-        F.array_distinct(shingles(word_tokens(F.col(text_col)), shingle_n)).alias(
-            "_set"
-        ),
+    sets = (
+        ensure_compute_parallelism(df)
+        .select(F.col(id_col), word_tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col("_toks"), shingle_n)).alias("_set"),
+        )
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))

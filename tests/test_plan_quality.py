@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the 100 TB contract.
+
+Correctness tests prove the answers match; these prove the PLANS are
+the ones that survive a 1000-executor cluster — broadcast joins where a
+dim is small, parquet column pruning / predicate pushdown reaching the
+scan, no Python evaluation nodes in JVM-only pipelines, partial (map-
+side) aggregation before every shuffle.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from fluent_plugin_record_reformer_spark.sources.tables import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_e2e_broadcasts_dim_no_python(spark):
+    plan = _plan(entrymod.q_pipeline_e2e(spark, SF))
+    assert "BroadcastHashJoin" in plan, "role dim must broadcast, never shuffle"
+    assert "SortMergeJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"JVM-only pipeline contains Python node {node}"
+
+
+def test_pipeline_e2e_partial_aggregation(spark):
+    plan = _plan(entrymod.q_pipeline_e2e(spark, SF))
+    assert plan.count("HashAggregate") >= 2, "need map-side partial agg before shuffle"
+
+
+def test_reform_has_no_python_nodes(spark):
+    # the reform spec compiles to pure Column exprs — the tag_prefix
+    # HOFs are CodegenFallback islands but there must be NO Python
+    # evaluation anywhere (AQE hides WholeStageCodegen markers until
+    # the final plan, so we assert the absence of the bad nodes)
+    plan = _plan(entrymod.q_reform_flagship(spark, SF))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # quality_score touches only doc_id + text; lang/source/n_chars must
+    # not be read from parquet
+    plan = _plan(entrymod.q_quality_score(spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, "no parquet scan found"
+    line = read_schema[0]
+    assert "text" in line and "doc_id" in line
+    assert "lang" not in line and "source" not in line
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    df = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10).select("doc_id")
+    plan = _plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "LessThan(doc_id,10)" in pushed[0]
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = _plan(entrymod.q_knn_brute(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # 3 query vectors broadcast against the scan — never a shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_is_two_phase(spark):
+    plan = _plan(entrymod.q_salted_agg(spark, SF))
+    # salt phase + unsalt phase, each with partial+final HashAggregate
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_route_fanout_single_case_expression(spark):
+    # routing must be ONE projection pass (CASE), not N filtered scans
+    plan = _plan(entrymod.q_route_fanout(spark, SF))
+    assert plan.count("FileScan") == 1
+
+
+def test_exact_dedup_partial_agg(spark):
+    plan = _plan(entrymod.q_dedup_exact(spark, SF))
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_minhash_stages_survive_catalyst(spark):
+    # the staged projections (shingles -> base -> sig) must NOT be
+    # inlined into one mega-expression (that was a measured 10x blowup)
+    df = entrymod.q_minhash_lsh_pairs(spark, SF)
+    plan = _plan(df)
+    # 3 legitimate tokenizer sites: minhash signature + jaccard set per
+    # join side; anything above means a staged projection got inlined
+    assert plan.count("regexp_extract_all") <= 3, (
+        "shingle pipeline inlined too many times — staging collapsed"
+    )
