@@ -44,6 +44,7 @@ from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
 from fluent_plugin_record_reformer_spark.operators.route import Route, RouteTable
 from fluent_plugin_record_reformer_spark.operators.similarity import (
     cosine_topk,
+    embedding_near_dup,
     signbit_ann_topk,
 )
 from fluent_plugin_record_reformer_spark.sources.tables import load_table
@@ -393,6 +394,46 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signbit_ann_topk(emb, _knn_queries(spark, sf_dir), k=5, planes=6)
 
 
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over the conversation spine: per-turn gap to the
+    previous turn (lag) and per-conv rollup (duration, mean gap)."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = t.withColumn(
+        "gap_s",
+        F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w),
+    )
+    return gaps.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+        F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+            "n_assistant"
+        ),
+    )
+
+
+def q_top_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit: top-10 busiest conversations (deterministic tiebreak
+    on conv_id). TakeOrderedAndProject — no global sort at scale."""
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .orderBy(F.col("n_turns").desc(), F.col("conv_id").asc())
+        .limit(10)
+    )
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-bit LSH bucket pair-gen + exact
+    cosine >= 0.2 verification."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.2, planes=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -416,6 +457,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "knn_brute": q_knn_brute,
     "knn_ann": q_knn_ann,
+    "embed_near_dup": q_embed_near_dup,
+    "conv_stats": q_conv_stats,
+    "top_convs": q_top_convs,
 }
 
 
@@ -664,6 +708,41 @@ ORACLES: dict[str, str] = {
     """,
     "knn_brute": ORACLE_KNN_BRUTE,
     "knn_ann": ORACLE_KNN_ANN,
+    "embed_near_dup": f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         {om.sql_signbit_bucket("embedding", 8)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({om.sql_cosine("a.embedding", "b.embedding", 64)}, 4) AS cos_sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({om.sql_cosine("a.embedding", "b.embedding", 64)}, 4) >= 0.2
+""",
+    "conv_stats": TRANSCRIPTS_CTE
+    + """
+    , gaps AS (
+      SELECT conv_id, role, ts,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+      FROM transcripts
+    )
+    SELECT conv_id,
+           count(*) AS n_turns,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+           round(avg(gap_s), 2) AS avg_gap_s,
+           sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant
+    FROM gaps GROUP BY conv_id
+    """,
+    "top_convs": TRANSCRIPTS_CTE
+    + """
+    SELECT conv_id, count(*) AS n_turns
+    FROM transcripts GROUP BY conv_id
+    ORDER BY n_turns DESC, conv_id ASC
+    LIMIT 10
+    """,
 }
 
 

@@ -74,9 +74,21 @@ def python_expr_column(
     # expression references (Catalyst can't prune inside a UDF struct
     # arg, so we do it at compile time — at 100 TB, shipping unused
     # text/blob columns through Arrow would dominate the stage).
-    referenced = {
-        n.id for n in ast.walk(ast.parse(expr, mode="eval")) if isinstance(n, ast.Name)
-    }
+    tree = ast.parse(expr, mode="eval")
+    referenced = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    # record['foo.bar'] / record['@timestamp']: the __send__ analog for
+    # keys that aren't valid identifiers (reference compat kit,
+    # test_out_record_reformer.rb:631-662) — collect those string
+    # subscripts so the columns survive pruning
+    for n in ast.walk(tree):
+        if (
+            isinstance(n, ast.Subscript)
+            and isinstance(n.value, ast.Name)
+            and n.value.id == "record"
+            and isinstance(n.slice, ast.Constant)
+            and isinstance(n.slice.value, str)
+        ):
+            referenced.add(n.slice.value)
     if extra_cols is not None:
         cols = list(extra_cols)
     else:
@@ -104,6 +116,9 @@ def python_expr_column(
                 )
         if time_col in frame.columns:
             env["time"] = frame[time_col]
+        # the whole batch as `record` — dict-style access for keys that
+        # aren't valid Python names (record['@timestamp'])
+        env["record"] = frame
         env.update({"hostname": hostname, "pd": pd, "np": np, "re": _re})
         try:
             out = eval(code, {"__builtins__": _SAFE_BUILTINS}, env)

@@ -88,6 +88,55 @@ def signbit_bucket(vec: Column, *, planes: int) -> Column:
     )
 
 
+def embedding_near_dup(
+    vectors: DataFrame,
+    *,
+    threshold: float,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share the
+    sign-bit LSH bucket (one groupBy/collect_list pass, same pair-gen
+    shape as dedup.lsh_candidate_pairs — no self-join), then exact
+    cosine >= threshold re-ranks them. At 10^12 rows the bucket count
+    grows 2^planes; hot buckets cap naturally because sign bits of
+    centered embeddings are balanced."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        signbit_bucket(F.col(vec_col), planes=planes).alias("_bucket"),
+    )
+    members = v.groupBy("_bucket").agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        members.filter(F.size("_ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def signbit_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
