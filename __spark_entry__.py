@@ -39,12 +39,17 @@ from fluent_plugin_record_reformer_spark.operators.dedup import (
     minhash_signature,
     with_simhash,
 )
-from fluent_plugin_record_reformer_spark.operators.enrich import enrich, role_dim
+from fluent_plugin_record_reformer_spark.operators.enrich import (
+    enrich,
+    role_dim,
+    tool_dim,
+)
 from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
 from fluent_plugin_record_reformer_spark.operators.route import Route, RouteTable
 from fluent_plugin_record_reformer_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup,
+    ivf_topk,
     signbit_ann_topk,
 )
 from fluent_plugin_record_reformer_spark.sources.tables import load_table
@@ -225,6 +230,15 @@ def q_enrich_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enrich_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich via the tool dictionary (left join keeps tool-less turns
+    flowing with null enrichment — drop only ever happens on nil tag)."""
+    out = enrich(_transcripts(spark, sf_dir), tool_dim(spark), on="tool")
+    return out.groupBy("tool", "tool_family", "networked").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+
+
 def q_python_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """enable_ruby analog (#7): vectorized restricted-Python field over
     Arrow batches (core.rb:252-343 → pandas_udf)."""
@@ -357,7 +371,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: Rabin-Karp rolling hash over chars +
     winnowed min shingle digest."""
-    docs = load_table(spark, sf_dir, "documents")
+    from fluent_plugin_record_reformer_spark.sources.tables import (
+        ensure_compute_parallelism,
+    )
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         poly_fingerprint("text").alias("poly_fp"),
@@ -427,6 +445,16 @@ def q_top_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-5: 16 fixed centroids (vec_id<16), inverted
+    lists by nearest centroid, queries probe 2 lists, exact re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return ivf_topk(emb, centroids, _knn_queries(spark, sf_dir), k=5, nprobe=2)
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: sign-bit LSH bucket pair-gen + exact
     cosine >= 0.2 verification."""
@@ -445,6 +473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg": q_salted_agg,
     "grok_parse": q_grok_parse,
     "enrich_roles": q_enrich_roles,
+    "enrich_tools": q_enrich_tools,
     "python_expr": q_python_expr,
     "events_hourly": q_events_hourly,
     "pipeline_e2e": q_pipeline_e2e,
@@ -458,6 +487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute": q_knn_brute,
     "knn_ann": q_knn_ann,
     "embed_near_dup": q_embed_near_dup,
+    "knn_ivf": q_knn_ivf,
     "conv_stats": q_conv_stats,
     "top_convs": q_top_convs,
 }
@@ -644,6 +674,16 @@ ORACLES: dict[str, str] = {
       ON t.role = d.role
     GROUP BY 1, 2, 3
     """,
+    "enrich_tools": TRANSCRIPTS_CTE
+    + """
+    SELECT t.tool, d.tool_family, d.networked, count(*) AS n_turns
+    FROM transcripts t
+    LEFT JOIN (VALUES ('search','retrieval',TRUE), ('browser','retrieval',TRUE),
+                      ('python','compute',FALSE), ('calculator','compute',FALSE),
+                      ('checkout','commerce',FALSE), ('auth','identity',FALSE))
+         AS d(tool, tool_family, networked) ON t.tool = d.tool
+    GROUP BY 1, 2, 3
+    """,
     "python_expr": TRANSCRIPTS_CTE
     + """
     SELECT conv_id, turn_idx, CAST(length(text) AS INTEGER) AS text_len
@@ -718,6 +758,41 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({om.sql_cosine("a.embedding", "b.embedding", 64)}, 4) AS cos_sim
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({om.sql_cosine("a.embedding", "b.embedding", 64)}, 4) >= 0.2
+""",
+    "knn_ivf": f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+  FROM embeddings WHERE vec_id < 16
+), va AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {om.sql_cosine("e.embedding", "c.centroid_vec", 64)} DESC,
+                      c.centroid_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN c
+), lists AS (
+  SELECT vec_id, embedding, centroid_id FROM va WHERE rnk = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 3
+), qa AS (
+  SELECT q.query_id, q.query_vec, c.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {om.sql_cosine("q.query_vec", "c.centroid_vec", 64)} DESC,
+                      c.centroid_id ASC) AS rnk
+  FROM q CROSS JOIN c
+), probes AS (
+  SELECT query_id, query_vec, centroid_id FROM qa WHERE rnk <= 2
+), scored AS (
+  SELECT p.query_id, l.vec_id,
+         round({om.sql_cosine("l.embedding", "p.query_vec", 64)}, 4) AS cos_sim
+  FROM lists l JOIN probes p USING (centroid_id)
+  WHERE l.vec_id <> p.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER
+      (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """,
     "conv_stats": TRANSCRIPTS_CTE
     + """

@@ -73,10 +73,9 @@ def sql_poly_fingerprint(text_expr: str) -> str:
 def sql_simhash_votes(tokens_expr: str, bits: int = 16) -> str:
     """Mirror of dedup.simhash_votes: fold the token md5 digests into a
     vote vector (use in a CTE, then collapse with sql_votes_collapse)."""
-    # +-1 vote for bit b of digest d (4 bits per lowercase hex char)
+    # +-1 vote for bit b of the token's int64 digest — exact shift/and
     vote = (
-        "((CAST(floor((strpos('0123456789abcdef', substr(md5(t), 1 + b // 4, 1)) - 1)"
-        " / power(2, b % 4)) AS BIGINT) % 2) * 2 - 1)"
+        "((((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) >> b) & 1) * 2) - 1)"
     )
     votes_of_token = f"list_transform(range(0, {bits}), b -> {vote})"
     token_votes = f"list_transform({tokens_expr}, t -> {votes_of_token})"

@@ -223,16 +223,26 @@ def jaccard_pairs(
 
 def simhash_votes(text: Column, *, bits: int = 16) -> Column:
     """SimHash vote vector: ONE fold over the token array computing the
-    md5 digest once per token and accumulating all ``bits`` per-bit +-1
-    votes (token multiplicity = weight). No explode, no shuffle."""
+    md5 digest once per token (reduced to int64) and accumulating all
+    ``bits`` per-bit +-1 votes with exact shift/and arithmetic (token
+    multiplicity = weight). No explode, no shuffle, no string ops per
+    bit — DuckDB mirror uses the identical (h >> b) & 1."""
     toks = word_tokens(text)
     vote_arrays = F.transform(
         toks,
-        lambda t: F.array(*[hex_nibble_bit(F.md5(t), b) * 2 - 1 for b in range(bits)]),
+        lambda t: _int_votes(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), bits
+        ),
     )
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
     return F.aggregate(
         vote_arrays, zero, lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x)
+    )
+
+
+def _int_votes(h: Column, bits: int) -> Column:
+    return F.array(
+        *[(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1) for b in range(bits)]
     )
 
 
@@ -250,13 +260,40 @@ def votes_to_simhash(votes: Column, *, bits: int = 16) -> Column:
 def with_simhash(
     df: DataFrame, *, text_col: str = "text", out_col: str = "simhash", bits: int = 16
 ) -> DataFrame:
-    """Add a simhash column in two projection steps so the (expensive)
-    vote fold is computed once, not once per bit — CollapseProject
-    keeps non-cheap expressions in their own projection."""
-    tmp = f"__{out_col}_votes"
-    return (
+    """Add a simhash column via staged projections: token digests
+    (one md5+int64 per token) -> per-bit scalar vote folds -> collapse.
+
+    Identical result to ``simhash_votes`` but each bit's fold carries a
+    scalar accumulator; the single-fold variant accumulates a
+    ``bits``-element array per token (zip_with allocation per element),
+    which measures ~2x slower in interpreted HOF evaluation."""
+    hcol, vcol = f"__{out_col}_h", f"__{out_col}_votes"
+
+    def vote_fold(b: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    staged = (
         ensure_compute_parallelism(df)
-        .withColumn(tmp, simhash_votes(F.col(text_col), bits=bits))
-        .withColumn(out_col, votes_to_simhash(F.col(tmp), bits=bits))
-        .drop(tmp)
+        .withColumn(
+            hcol,
+            F.transform(
+                word_tokens(F.col(text_col)),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            ),
+        )
+        .withColumn(
+            vcol,
+            F.array(
+                *[
+                    F.aggregate(F.col(hcol), F.lit(0).cast("long"), vote_fold(b))
+                    for b in range(bits)
+                ]
+            ),
+        )
+    )
+    return (
+        staged.withColumn(out_col, votes_to_simhash(F.col(vcol), bits=bits))
+        .drop(hcol, vcol)
     )

@@ -88,6 +88,80 @@ def signbit_bucket(vec: Column, *, planes: int) -> Column:
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: each vector's ``nprobe`` nearest
+    centroids by cosine (ties break on centroid id). Centroids are
+    broadcast — the |V| x |C| scoring is embarrassingly parallel and
+    never shuffles the vector table."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        centroid_id_col,
+        cosine(F.col(vec_col), F.col(centroid_vec_col)).alias("_c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_c_sim").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("_c_rank", F.row_number().over(w))
+        .filter(F.col("_c_rank") <= nprobe)
+        .drop("_c_sim", "_c_rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: vectors live in their nearest
+    centroid's inverted list; a query probes its ``nprobe`` nearest
+    lists and exact-cosine re-ranks only those candidates. The
+    candidate join is an equality join on centroid_id — partitionable
+    and prunable at any scale (vs brute force's full scan per query)."""
+    lists = ivf_assign(
+        vectors, centroids, vec_col=vec_col, id_col=id_col, nprobe=1
+    )
+    probes = ivf_assign(
+        queries,
+        centroids,
+        vec_col=query_vec_col,
+        id_col=query_id_col,
+        nprobe=nprobe,
+    ).select(query_id_col, query_vec_col, "centroid_id")
+    joined = lists.join(F.broadcast(probes), "centroid_id").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     *,

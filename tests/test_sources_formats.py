@@ -1,0 +1,69 @@
+"""Round-trip tests for the JSON-lines / CSV transcript sources."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from fluent_plugin_record_reformer_spark.sources.formats import (  # noqa: E402
+    read_transcripts_csv,
+    read_transcripts_json,
+    write_transcripts_csv,
+    write_transcripts_json,
+)
+from fluent_plugin_record_reformer_spark.sources.tables import load_table  # noqa: E402
+from fluent_plugin_record_reformer_spark.sources.transcripts import (  # noqa: E402
+    transcripts_from_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return transcripts_from_events(load_table(spark, SF, "events"))
+
+
+def _sorted_rows(df):
+    return df.orderBy("conv_id", "turn_idx").collect()
+
+
+def _names_types(df):
+    # text sources are always nullable; compare names + types only
+    return [(f.name, f.dataType) for f in df.schema.fields]
+
+
+def test_json_roundtrip_lossless(spark, transcripts, tmp_path):
+    path = str(tmp_path / "t.json")
+    write_transcripts_json(transcripts, path)
+    back = read_transcripts_json(spark, path, schema=transcripts.schema)
+    assert _names_types(back) == _names_types(transcripts)
+    assert _sorted_rows(back) == _sorted_rows(transcripts)
+
+
+def test_csv_roundtrip_lossless(spark, transcripts, tmp_path):
+    path = str(tmp_path / "t.csv")
+    write_transcripts_csv(transcripts, path)
+    back = read_transcripts_csv(spark, path, schema=transcripts.schema)
+    assert _names_types(back) == _names_types(transcripts)
+    assert _sorted_rows(back) == _sorted_rows(transcripts)
+
+
+def test_json_malformed_lines_dont_fail(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.json").write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","tool":null,'
+        '"ts":"2024-01-01 00:00:00.000000"}\n'
+        "this is not json\n"
+        '{"conv_id":"c1","turn_idx":"NOT_AN_INT","role":"user","text":"x","tool":null,'
+        '"ts":"2024-01-01 00:00:01.000000"}\n'
+    )
+    got = read_transcripts_json(spark, str(p)).collect()
+    assert len(got) == 3  # permissive: rows survive, bad fields null
+    ok = [r for r in got if r["conv_id"] == "c1" and r["turn_idx"] == 0]
+    assert len(ok) == 1
