@@ -44,7 +44,7 @@ from fluent_plugin_record_reformer_spark.operators.enrich import (
     role_dim,
     tool_dim,
 )
-from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+from fluent_plugin_record_reformer_spark.operators.parse import grok_parse, regex_parse
 from fluent_plugin_record_reformer_spark.operators.route import Route, RouteTable
 from fluent_plugin_record_reformer_spark.operators.similarity import (
     cosine_topk,
@@ -412,6 +412,98 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signbit_ann_topk(emb, _knn_queries(spark, sf_dir), k=5, planes=6)
 
 
+# ---------------------------------------------------------------------------
+# Analytical join/agg breadth on the star-schema tables. Money sums go
+# through DECIMAL so partial-aggregation order can't perturb doubles —
+# both engines produce exact, identical totals.
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,4)"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped rollup: per (returnflag, linestatus) sums/avgs
+    over filtered lineitem. Partial+final hash agg; filter pushed to
+    the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2).alias(
+                "sum_qty"
+            ),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 2
+            ).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: segment customers x orders x lineitem, top-10
+    orders by exact decimal revenue (broadcastable dims, ordered limit)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: region x nation x customer x orders x lineitem
+    multi-join, revenue per nation — small dims broadcast up the chain."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error containment: a grok pattern that only matches purchase/
+    signup turns — non-matching rows yield NULL fields (never errors,
+    never drops; core.rb:315-319 semantics) and the rollup counts them."""
+    parsed = regex_parse(
+        _transcripts(spark, sf_dir),
+        r"event=(?P<petype>purchase|signup) value=(?P<pval>[+-]?\d+(?:\.\d+)?) .*",
+        types={"pval": "double"},
+    )
+    return parsed.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count("petype").alias("n_parsed"),
+        F.sum(F.when(F.col("petype").isNull(), 1).otherwise(0)).alias("n_failed"),
+        F.round(F.sum(F.coalesce(F.col("pval").cast(DEC), F.lit(0).cast(DEC))).cast("double"), 2).alias(
+            "sum_val"
+        ),
+    )
+
+
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions over the conversation spine: per-turn gap to the
     previous turn (lag) and per-conv rollup (duration, mean gap)."""
@@ -490,6 +582,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf": q_knn_ivf,
     "conv_stats": q_conv_stats,
     "top_convs": q_top_convs,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "nation_revenue": q_nation_revenue,
+    "parse_errors": q_parse_errors,
 }
 
 
@@ -817,6 +913,53 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     FROM transcripts GROUP BY conv_id
     ORDER BY n_turns DESC, conv_id ASC
     LIMIT 10
+    """,
+    "pricing_summary": """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY 1, 2
+    """,
+    "top_orders": """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    "nation_revenue": """
+    SELECT r_name, n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+    "parse_errors": TRANSCRIPTS_CTE
+    + r"""
+    , parsed AS (
+      SELECT role,
+             nullif(regexp_extract(text, 'event=(purchase|signup) value=([+-]?\d+(?:\.\d+)?) .*', 1), '') AS petype,
+             CAST(nullif(regexp_extract(text, 'event=(purchase|signup) value=([+-]?\d+(?:\.\d+)?) .*', 2), '') AS DOUBLE) AS pval
+      FROM transcripts
+    )
+    SELECT role,
+           count(*) AS n_turns,
+           count(petype) AS n_parsed,
+           sum(CASE WHEN petype IS NULL THEN 1 ELSE 0 END) AS n_failed,
+           round(CAST(sum(coalesce(CAST(pval AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_val
+    FROM parsed GROUP BY role
     """,
 }
 
