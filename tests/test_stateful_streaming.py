@@ -1,0 +1,110 @@
+"""applyInPandasWithState sessionizer: state accumulates across
+micro-batches and matches the batch ground truth."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fluent_plugin_record_reformer_spark.sources.tables import load_table  # noqa: E402
+from fluent_plugin_record_reformer_spark.sources.transcripts import (  # noqa: E402
+    transcripts_from_events,
+)
+from fluent_plugin_record_reformer_spark.streaming.pipeline import (  # noqa: E402
+    read_transcript_stream,
+)
+from fluent_plugin_record_reformer_spark.streaming.stateful import (  # noqa: E402
+    conversation_sessions,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    t = transcripts_from_events(load_table(spark, SF, "events"))
+    # 3 conversations are enough to prove state semantics; state-store
+    # machinery cost scales with partitions x batches, not rows
+    return t.filter(F.col("conv_id") < "conv-0003")
+
+
+def test_sessionizer_accumulates_across_batches(spark, transcripts, tmp_path):
+    src = str(tmp_path / "src")
+    # two files -> with maxFilesPerTrigger=1, two micro-batches: the
+    # second batch must ADD to state, not restart it
+    transcripts.filter("turn_idx % 2 = 0").coalesce(1).write.parquet(src)
+    transcripts.filter("turn_idx % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    # gap_ms=None (NoTimeout): with a processing-time timeout the engine
+    # schedules empty batches forever and availableNow never terminates
+    sessions = conversation_sessions(stream, gap_ms=None)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "query did not drain in time"
+
+    # last emitted row per conv (update mode re-emits on each batch)
+    got = spark.sql(
+        """
+        SELECT conv_id, n_turns, n_assistant, session_start, session_end
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY conv_id ORDER BY n_turns DESC) AS rn FROM sessions)
+        WHERE rn = 1
+        """
+    )
+    want = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+            "n_assistant"
+        ),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    g = {r["conv_id"]: r for r in got.collect()}
+    w = {r["conv_id"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for cid in w:
+        assert g[cid]["n_turns"] == w[cid]["n_turns"], cid
+        assert g[cid]["n_assistant"] == w[cid]["n_assistant"], cid
+        assert g[cid]["session_start"] == w[cid]["session_start"], cid
+        assert g[cid]["session_end"] == w[cid]["session_end"], cid
+
+
+def test_sessionizer_timeout_closes_sessions(spark, transcripts, tmp_path):
+    import time
+
+    src = str(tmp_path / "src2")
+    transcripts.coalesce(1).write.parquet(src)
+    stream = read_transcript_stream(spark, src)
+    sessions = conversation_sessions(stream, gap_ms=500)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_to")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        closed = 0
+        while time.time() < deadline:
+            closed = spark.sql(
+                "SELECT count(*) FROM sessions_to WHERE closed"
+            ).first()[0]
+            if closed >= 3:
+                break
+            time.sleep(2)
+        assert closed >= 3, "idle sessions were not closed by the timeout"
+    finally:
+        q.stop()
