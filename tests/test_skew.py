@@ -1,0 +1,87 @@
+"""Skew-handling contract: a pathologically hot key (one conv_id owning
+half the table) must (a) aggregate to exactly the plain-groupBy answer
+through the salted two-phase path, and (b) actually spread across salt
+buckets in phase 1 — the property that keeps one reducer from pinning
+at 100 TB."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fluent_plugin_record_reformer_spark.operators.aggregate import (  # noqa: E402
+    salted_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 50k rows for one hot conv + 50 cold convs x 1k rows
+    hot = spark.range(50_000).select(
+        F.lit("conv-HOT").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    cold = spark.range(50_000).select(
+        F.concat(F.lit("conv-"), (F.col("id") % 50).cast("string")).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        (F.col("id") % 89).cast("double").alias("value"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_agg_equals_plain_on_hot_key(spark, skewed):
+    got = salted_agg(
+        skewed,
+        ["conv_id"],
+        {
+            "n": ("count", ""),
+            "sum_v": ("sum", "value"),
+            "max_t": ("max", "turn_idx"),
+            "min_t": ("min", "turn_idx"),
+        },
+        salt_buckets=16,
+    )
+    want = skewed.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+        F.max("turn_idx").alias("max_t"),
+        F.min("turn_idx").alias("min_t"),
+    )
+    g = {r["conv_id"]: (r["n"], r["sum_v"], r["max_t"], r["min_t"]) for r in got.collect()}
+    w = {r["conv_id"]: (r["n"], r["sum_v"], r["max_t"], r["min_t"]) for r in want.collect()}
+    assert g == w
+    assert g["conv-HOT"][0] == 50_000
+
+
+def test_hot_key_spreads_across_salt_buckets(spark, skewed):
+    # phase-1 shape: the hot key must occupy (nearly) all salt buckets,
+    # and no single (key, salt) group may hold more than ~2x its fair
+    # share of the hot key's rows
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(16))
+    phase1 = (
+        skewed.filter(F.col("conv_id") == "conv-HOT")
+        .withColumn("__salt", salt)
+        .groupBy("__salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = {r["__salt"]: r["n"] for r in phase1}
+    assert len(sizes) == 16, "hot key did not reach every salt bucket"
+    fair = 50_000 / 16
+    assert max(sizes.values()) < 2 * fair, f"salt skewed: {sizes}"
+
+
+def test_salt_is_deterministic_across_runs(spark, skewed):
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(16))
+    a = skewed.withColumn("s", salt).groupBy("s").count().collect()
+    b = skewed.withColumn("s", salt).groupBy("s").count().collect()
+    assert sorted((r["s"], r["count"]) for r in a) == sorted(
+        (r["s"], r["count"]) for r in b
+    )
