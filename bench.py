@@ -78,6 +78,11 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
         pipeline_s = sum(per_query[q] for q in PIPELINE_QUERIES if q in per_query)
         total_s = sum(per_query.values())
+        # Saturated throughput: the same full pipeline over the input
+        # replicated x16 (enough rows that per-task overhead amortizes)
+        # — comparable to BASELINE.md's scaling numbers, unlike the
+        # per-query times above, which at sf0.1 are overhead-dominated.
+        sat = _saturated_pipeline(spark, sf_dir, cpus, replicate=16)
         return {
             "metric": "total_query_wall_seconds",
             "value": round(total_s, 4),
@@ -88,9 +93,76 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
             "n_turns": n_turns,
             "pipeline_sec": round(pipeline_s, 4),
             "turns_per_sec": round(n_turns / pipeline_s, 1) if pipeline_s else None,
+            "saturated_n_turns": sat["n_turns"],
+            "saturated_pipeline_sec": sat["pipeline_sec"],
+            "saturated_turns_per_sec": sat["turns_per_sec"],
         }
     finally:
         spark.stop()
+
+
+def _saturated_pipeline(spark, sf_dir: str, cpus: int, replicate: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import (
+        E2E_ROUTES,
+        HOSTNAME,
+        ReformContext,
+        TransformSpec,
+        enrich,
+        grok_parse,
+        reform,
+        role_dim,
+    )
+    from fluent_plugin_record_reformer_spark.sources.tables import load_table
+    from fluent_plugin_record_reformer_spark.sources.transcripts import (
+        transcripts_from_events,
+        with_tag,
+    )
+
+    base = with_tag(transcripts_from_events(load_table(spark, sf_dir, "events")))
+    big = (
+        base.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+        .withColumn("conv_id", F.concat("conv_id", F.lit("-"), F.col("r").cast("string")))
+        .drop("r")
+        .repartition(cpus * 2, "conv_id")
+        .cache()
+    )
+    n_turns = big.count()
+    parsed = grok_parse(
+        big,
+        "event=%{WORD:etype} value=%{NUMBER:val} props=%{GREEDYDATA:props_raw}",
+        types={"val": "double"},
+    )
+    enriched = enrich(parsed, role_dim(spark), on="role")
+    spec = TransformSpec(
+        tag="reformed.${tag_prefix[-2]}",
+        record={
+            "hostname": "${hostname}",
+            "message": "${record['etype']} by ${record['role_kind']}",
+        },
+        remove_keys=["text", "props_raw"],
+    )
+    routed = E2E_ROUTES.assign(reform(enriched, spec, ReformContext(hostname=HOSTNAME)))
+    agg = routed.groupBy(
+        "route",
+        "etype",
+        F.hour("ts").cast("int").alias("hour"),
+        (F.abs(F.hash("conv_id")) % 64).alias("conv_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_turns"), F.round(F.sum("val"), 2).alias("sum_val"))
+    agg.write.format("noop").mode("overwrite").save()  # warmup
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        agg.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    big.unpersist()
+    return {
+        "n_turns": n_turns,
+        "pipeline_sec": round(best, 4),
+        "turns_per_sec": round(n_turns / best, 1),
+    }
 
 
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))

@@ -31,8 +31,12 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) * 2, 8)
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    builder = SparkSession.builder
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder.master(f"local[{cpus}]")
         .appName(app_name)
         # local mode = everything in the driver JVM; the 1g default would
         # evict caches and thrash GC long before the 128 GiB box is used.
