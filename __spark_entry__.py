@@ -504,6 +504,31 @@ def q_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the correctness gate: a deterministic
+    synthetic media table (binary payloads from md5) flows through the
+    mapInPandas decode stage (fake codec) — the Arrow batch shape,
+    binary schema, and feature math are all oracle-checked."""
+    from fluent_plugin_record_reformer_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    media = spark.range(200).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") % 2 == 0, "image").otherwise("video").alias("kind"),
+        (F.col("id") % 64 + 32).cast("int").alias("width"),
+        (F.col("id") % 48 + 24).cast("int").alias("height"),
+        F.unhex(F.md5(F.col("id").cast("string"))).alias("payload"),
+    )
+    feats = decode_image_features(media.filter("kind = 'image'"), fake_decoder=True)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        "phash",
+    )
+
+
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions over the conversation spine: per-turn gap to the
     previous turn (lag) and per-conv rollup (duration, mean gap)."""
@@ -582,6 +607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf": q_knn_ivf,
     "conv_stats": q_conv_stats,
     "top_convs": q_top_convs,
+    "media_features": q_media_features,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "nation_revenue": q_nation_revenue,
@@ -913,6 +939,21 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     FROM transcripts GROUP BY conv_id
     ORDER BY n_turns DESC, conv_id ASC
     LIMIT 10
+    """,
+    "media_features": """
+    WITH media AS (
+      SELECT t.range AS media_id,
+             CAST(t.range % 64 + 32 AS INTEGER) AS width,
+             CAST(t.range % 48 + 24 AS INTEGER) AS height,
+             md5(md5(CAST(t.range AS VARCHAR))) AS dd
+      FROM range(0, 200) t
+      WHERE t.range % 2 = 0
+    )
+    SELECT media_id, width, height,
+           round(CAST(('0x' || substr(dd, 1, 2))::BIGINT AS DOUBLE) / 255.0, 6) AS mean_r,
+           round(CAST(('0x' || substr(dd, 3, 2))::BIGINT AS DOUBLE) / 255.0, 6) AS mean_g,
+           substr(dd, 1, 16) AS phash
+    FROM media
     """,
     "pricing_summary": """
     SELECT l_returnflag, l_linestatus,

@@ -46,8 +46,10 @@ FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_phash s
 
 def _fake_pixels(payload: bytes) -> tuple[float, float, float, str]:
     """Deterministic stand-in for a decoded image: channel means and a
-    perceptual-hash-shaped digest derived from the payload bytes."""
-    d = hashlib.md5(payload or b"").digest()
+    perceptual-hash-shaped digest derived from the payload bytes.
+    Hashes the payload's lowercase-hex rendering (not raw bytes) so a
+    SQL oracle can reproduce it: ``md5(lower(hex(payload)))``."""
+    d = hashlib.md5((payload or b"").hex().encode()).digest()
     return (d[0] / 255.0, d[1] / 255.0, d[2] / 255.0, d.hex()[:16])
 
 
