@@ -46,6 +46,10 @@ from fluent_plugin_record_reformer_spark.operators.enrich import (
 )
 from fluent_plugin_record_reformer_spark.operators.parse import grok_parse, regex_parse
 from fluent_plugin_record_reformer_spark.operators.route import Route, RouteTable
+from fluent_plugin_record_reformer_spark.operators.sketch import (
+    kmv_distinct,
+    kmv_oracle_sql,
+)
 from fluent_plugin_record_reformer_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup,
@@ -504,6 +508,17 @@ def q_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch: approximate distinct conversations per role, next to
+    the exact count so the estimator's accuracy is visible in output."""
+    t = _transcripts(spark, sf_dir)
+    approx = kmv_distinct(t, "conv_id", ["role"], k=64)
+    exact = t.groupBy("role").agg(
+        F.countDistinct("conv_id").alias("exact_distinct")
+    )
+    return approx.join(exact, "role")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the correctness gate: a deterministic
     synthetic media table (binary payloads from md5) flows through the
@@ -607,6 +622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf": q_knn_ivf,
     "conv_stats": q_conv_stats,
     "top_convs": q_top_convs,
+    "kmv_distinct": q_kmv_distinct,
     "media_features": q_media_features,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -939,6 +955,13 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     FROM transcripts GROUP BY conv_id
     ORDER BY n_turns DESC, conv_id ASC
     LIMIT 10
+    """,
+    "kmv_distinct": TRANSCRIPTS_CTE
+    + f"""
+    SELECT k.role, k.approx_distinct, e.exact_distinct
+    FROM ( {kmv_oracle_sql("conv_id", ["role"], "transcripts", k=64)} ) k
+    JOIN (SELECT role, count(DISTINCT conv_id) AS exact_distinct
+          FROM transcripts GROUP BY role) e USING (role)
     """,
     "media_features": """
     WITH media AS (

@@ -1,0 +1,92 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+A deterministic, engine-portable alternative to HLL
+``approx_count_distinct`` (whose register layout is engine-specific and
+can never pass a cross-engine value-hash gate): hash every value to a
+uniform 60-bit int (md5-derived, functions/hashing.py), keep the k
+smallest DISTINCT hashes per group, and estimate
+
+    D ≈ (k - 1) * 2^60 / h_(k)
+
+where h_(k) is the k-th minimum. Standard KMV estimator (Bar-Yossef et
+al.); relative error ~ 1/sqrt(k-2).
+
+Scale shape: the per-group state is k int64s. This implementation uses
+``sort_array(collect_set(h))[1:k]`` — fine while groups' distinct
+hashes fit an executor (they do for dashboard-cardinality groups); for
+truly unbounded groups swap in a two-phase variant that keeps only the
+per-partition k-mins before the final merge (same estimator, partial
+state bounded at k per partition — the classic sketch-merge shape).
+
+Determinism: both the hash and the k-min selection are exact integer
+ops; the final estimate divides in IEEE doubles identically on Spark
+and DuckDB, so the driver's value-hash gate holds bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(2**60)  # shingle_base-style 15-hex-char digests
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """Uniform 60-bit hash of a value (md5 hex prefix -> int64)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    k: int = 64,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col``.
+
+    Exact when the group has fewer than k distinct values (the sketch
+    degenerates to plain counting), the KMV estimate otherwise.
+    """
+    hashed = df.select(*group_cols, kmv_hash(value_col).alias("_h"))
+    mins = hashed.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_kmin")
+    )
+    n = F.size("_kmin")
+    kth = F.element_at("_kmin", k)
+    estimate = F.when(n < k, n.cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / kth.cast("double")
+    )
+    return mins.select(
+        *group_cols, F.round(estimate).cast("long").alias(out_col)
+    )
+
+
+def kmv_oracle_sql(
+    value_expr: str, group_cols: Sequence[str], from_clause: str, *, k: int = 64
+) -> str:
+    """DuckDB mirror of :func:`kmv_distinct` (same hash, same k-min,
+    same double arithmetic)."""
+    h = (
+        f"CAST('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    groups = ", ".join(group_cols)
+    sel_groups = f"{groups}, " if groups else ""
+    by = f"GROUP BY {groups}" if groups else ""
+    return f"""
+WITH hashed AS (
+  SELECT {sel_groups}{h} AS _h FROM {from_clause}
+), mins AS (
+  SELECT {sel_groups}list_slice(list_sort(list(DISTINCT _h)), 1, {k}) AS _kmin
+  FROM hashed {by}
+)
+SELECT {sel_groups}CAST(round(
+         CASE WHEN len(_kmin) < {k} THEN CAST(len(_kmin) AS DOUBLE)
+              ELSE ({k - 1}.0 * {HASH_SPACE!r}) / CAST(_kmin[{k}] AS DOUBLE)
+         END) AS BIGINT) AS approx_distinct
+FROM mins
+"""
