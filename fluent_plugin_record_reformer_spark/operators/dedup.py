@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     MINHASH_P,
     affine_consts,
-    hex_nibble_bit,
     seeded_md5,
     shingle_base_hash,
 )
