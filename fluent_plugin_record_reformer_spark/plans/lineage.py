@@ -8,22 +8,19 @@ INPUT FILE (the natural split of a parquet/Iceberg table):
 - A *manifest directory* holds one JSON file per fully-committed input
   (name = md5 of the input path) recording rows read, rows routed per
   sink, and the output batch it landed in. Manifest files are written
-  atomically (tmp + rename) AFTER the batch's data is committed, so a
-  crash between data-write and manifest-write re-processes that batch
-  — and because each batch stages into its own directory that is
+  atomically (tmp + rename) AFTER the shard's data is committed, so a
+  crash between data-write and manifest-write re-processes that shard
+  — and because each shard stages into its own directory that is
   renamed into place, the retry first discards the orphaned staging
   dir: no duplicates, no loss.
-- ``checkpointed_fanout`` processes only inputs with no manifest entry.
-  Running it twice is a no-op the second time.
+- ``checkpointed_fanout`` processes only inputs with no manifest entry,
+  one job per input shard. Running it twice is a no-op the second time.
 
 Scale notes: on a real cluster this maps onto Iceberg transactional
 appends (commit = snapshot, manifest = snapshot summary properties);
 the local implementation uses the same commit ordering with directory
-renames. Per-sink row metrics ride the SAME pass as the write via
-``DataFrame.observe`` (AggregateMetrics, no extra scan); the per-input
-row counts are a separate cheap aggregation-only scan (columns pruned
-to the lineage key) — at 100 TB you would instead keep the lineage
-column in the sink or read it from Iceberg's per-file metadata.
+renames. Per-sink row metrics ride the SAME pass as each write via
+``DataFrame.observe`` (AggregateMetrics, no extra scan).
 
 Reference anchor: the reference has no persistence at all (fluentd
 owns buffering/retry; whole-chunk rescue at core.rb:113-116 simply
@@ -45,9 +42,6 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.route import UNMATCHED, RouteTable
-
-LINEAGE_COL = "__lineage_input"
-
 
 @dataclass
 class ManifestEntry:
@@ -98,99 +92,77 @@ def checkpointed_fanout(
     drop_unmatched: bool = True,
 ) -> dict:
     """Run transform+route+write over exactly the not-yet-committed
-    inputs; returns a summary {processed, skipped, per_route, batch_id}.
+    inputs; returns {processed, skipped, n_rows, per_route, batches}.
 
-    Commit order per batch: stage data -> rename into place -> write
-    manifest entries. Readers see ``{out_dir}/batch=*/route=*/...``.
+    The COMMIT UNIT IS ONE INPUT: each input shard runs as its own job
+    into its own staged batch directory, renamed into place, then its
+    manifest entry lands — so a crash mid-run loses at most the
+    in-flight shard, and ``transform`` is free to project/aggregate
+    however it likes (no provenance column has to survive it; an
+    earlier design threaded input_file_name() through, which any
+    column-pruning transform silently broke). Per-sink metrics ride
+    each write via ``DataFrame.observe`` — no extra scan.
+
+    Inputs must be transform-complete shards (e.g. all events of a set
+    of conversations): the transform sees one shard at a time.
     """
     done = load_manifest(manifest_dir)
     todo = [p for p in inputs if p not in done]
     skipped = len(inputs) - len(todo)
-    if not todo:
-        return {"processed": 0, "skipped": skipped, "per_route": {}, "batch_id": None}
-
-    batch_id = hashlib.md5("|".join(sorted(todo)).encode()).hexdigest()[:16]
-    staging = os.path.join(out_dir, f"_staging_{batch_id}")
-    final_dir = os.path.join(out_dir, f"batch={batch_id}")
-    # a crashed earlier attempt of this same batch leaves an orphaned
-    # staging dir (no manifest entries) — discard and redo
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
-    if os.path.isdir(final_dir):
-        shutil.rmtree(final_dir)
-
-    t0 = time.time()
-    df = spark.read.parquet(*todo).withColumn(LINEAGE_COL, F.input_file_name())
-    routed = routes.assign(transform(df), tag_col)
-    if drop_unmatched:
-        routed = routed.filter(F.col("route") != UNMATCHED)
-
-    obs = Observation("lineage_metrics")
-    observed = routed.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_rows"),
-        *[
-            F.sum(F.when(F.col("route") == r.name, 1).otherwise(0)).alias(r.name)
-            for r in routes.routes
-        ],
-    )
-    (
-        observed.drop(LINEAGE_COL)
-        .write.mode("overwrite")
-        .partitionBy("route")
-        .parquet(staging)
-    )
-    totals = obs.get  # blocks until the write action finished
-
-    # per-input lineage counts: aggregation-only scan, pruned to the key
-    per_input = {
-        row[0]: (row[1], dict(zip([r.name for r in routes.routes], row[2:])))
-        for row in routed.groupBy(LINEAGE_COL)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.when(F.col("route") == r.name, 1).otherwise(0)).alias(r.name)
-                for r in routes.routes
-            ],
-        )
-        .collect()
-    }
+    route_names = [r.name for r in routes.routes]
+    totals_all = {"n_rows": 0, **dict.fromkeys(route_names, 0)}
+    batches: list[str] = []
 
     os.makedirs(out_dir, exist_ok=True)
-    os.replace(staging, final_dir)  # data commit point
-    wall = time.time() - t0
-    route_names = [r.name for r in routes.routes]
     for p in todo:
-        # input_file_name() yields per-FILE URIs (file:///...); an input
-        # may be a directory of part files — aggregate every file under it
-        ap = os.path.abspath(p)
-        n, pr = 0, dict.fromkeys(route_names, 0)
-        for k, (kn, kpr) in per_input.items():
-            path_part = k.split("://", 1)[-1]
-            if path_part == ap or path_part.startswith(ap + "/"):
-                n += kn
-                for name in route_names:
-                    pr[name] += kpr.get(name, 0)
+        batch_id = hashlib.md5(p.encode()).hexdigest()[:16]
+        staging = os.path.join(out_dir, f"_staging_{batch_id}")
+        final_dir = os.path.join(out_dir, f"batch={batch_id}")
+        # a crashed earlier attempt leaves an orphaned staging dir (no
+        # manifest entry) — discard and redo
+        for d in (staging, final_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+        t0 = time.time()
+        routed = routes.assign(transform(spark.read.parquet(p)), tag_col)
+        if drop_unmatched:
+            routed = routed.filter(F.col("route") != UNMATCHED)
+        obs = Observation(f"lineage_{batch_id}")
+        observed = routed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.when(F.col("route") == r, 1).otherwise(0)).alias(r)
+                for r in route_names
+            ],
+        )
+        observed.write.mode("overwrite").partitionBy("route").parquet(staging)
+        totals = obs.get  # blocks until the write action finished
+        os.replace(staging, final_dir)  # data commit point for this shard
+        per_route = {r: int(totals[r] or 0) for r in route_names}
         _write_manifest_atomic(
             manifest_dir,
             ManifestEntry(
                 input_path=p,
                 batch_id=batch_id,
-                n_rows=n,
-                per_route={k: int(v) for k, v in pr.items()},
-                wall_s=round(wall, 3),
+                n_rows=int(totals["n_rows"]),
+                per_route=per_route,
+                wall_s=round(time.time() - t0, 3),
                 committed_at=time.time(),
             ),
         )
-    per_route = {
-        r.name: int(totals[r.name] or 0) for r in routes.routes
-    }
+        batches.append(batch_id)
+        totals_all["n_rows"] += int(totals["n_rows"])
+        for r in route_names:
+            totals_all[r] += per_route[r]
+
     return {
         "processed": len(todo),
         "skipped": skipped,
-        "n_rows": int(totals["n_rows"]),
-        "per_route": per_route,
-        "batch_id": batch_id,
+        "n_rows": totals_all["n_rows"],
+        "per_route": {r: totals_all[r] for r in route_names},
+        "batches": batches,
     }
 
 
