@@ -47,8 +47,10 @@ from fluent_plugin_record_reformer_spark.operators.enrich import (
 from fluent_plugin_record_reformer_spark.operators.parse import grok_parse, regex_parse
 from fluent_plugin_record_reformer_spark.operators.route import Route, RouteTable
 from fluent_plugin_record_reformer_spark.operators.sketch import (
+    deterministic_sample,
     kmv_distinct,
     kmv_oracle_sql,
+    sample_gate_sql,
 )
 from fluent_plugin_record_reformer_spark.operators.similarity import (
     cosine_topk,
@@ -519,6 +521,19 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.join(exact, "role")
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% conversation sample: the hash gate is a pure
+    function of conv_id, so the SAME conversations survive reruns,
+    repartitions, and engine swaps — and sampling is join-closed
+    (every turn of a kept conversation is kept)."""
+    t = _transcripts(spark, sf_dir)
+    kept = deterministic_sample(t, "conv_id", 0.10, seed=7)
+    return kept.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the correctness gate: a deterministic
     synthetic media table (binary payloads from md5) flows through the
@@ -623,6 +638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_stats": q_conv_stats,
     "top_convs": q_top_convs,
     "kmv_distinct": q_kmv_distinct,
+    "deterministic_sample": q_deterministic_sample,
     "media_features": q_media_features,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -962,6 +978,13 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     FROM ( {kmv_oracle_sql("conv_id", ["role"], "transcripts", k=64)} ) k
     JOIN (SELECT role, count(DISTINCT conv_id) AS exact_distinct
           FROM transcripts GROUP BY role) e USING (role)
+    """,
+    "deterministic_sample": TRANSCRIPTS_CTE
+    + f"""
+    SELECT role, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+    FROM transcripts
+    WHERE {sample_gate_sql("conv_id", 0.10, seed=7)}
+    GROUP BY role
     """,
     "media_features": """
     WITH media AS (

@@ -66,6 +66,41 @@ def kmv_distinct(
     )
 
 
+def deterministic_sample(
+    df: DataFrame,
+    value_col: str,
+    fraction: float,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Hash-gate bernoulli sampling: keep a row iff
+    ``hash(seed|value) < fraction * 2^60``.
+
+    Unlike ``df.sample()`` (partition-RNG: resampling after a
+    repartition or rerun yields a different set), this is a pure
+    function of the VALUE — reruns, engine changes, and repartitions
+    all select the same rows, which is what a training-data pipeline
+    needs for reproducible subsets and for consistent joins between
+    sampled tables (sample both sides by the join key and the sample
+    stays join-closed)."""
+    c = F.col(value_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(h < int(fraction * HASH_SPACE))
+
+
+def sample_gate_sql(value_expr: str, fraction: float, *, seed: int = 0) -> str:
+    """DuckDB mirror of the deterministic_sample predicate."""
+    h = (
+        f"CAST('0x' || substr(md5('{seed}' || '|' || "
+        f"CAST({value_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return f"{h} < {int(fraction * HASH_SPACE)}"
+
+
 def kmv_oracle_sql(
     value_expr: str, group_cols: Sequence[str], from_clause: str, *, k: int = 64
 ) -> str:
