@@ -1051,13 +1051,26 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
 }
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]):
+    """Pin the session timezone before planning: the driver supplies its
+    own SparkSession, and ``unix_timestamp``/``date_format`` over the
+    NTZ timestamps are session-TZ-dependent — the DuckDB oracle always
+    treats naive timestamps as UTC."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_reform_flagship(spark, "/root/testdata/sf0.001")
+    return _utc(q_reform_flagship)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {name: _utc(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
