@@ -95,10 +95,25 @@ def reform(
     for k in spec.remove_keys:
         out.pop(k, None)
 
-    projected = df.select(
-        new_tag.alias(ctx.tag_col),
-        time_expr.alias(ctx.time_col),
-        *[col.alias(k) for k, col in out.items()],
+    # Two-step projection, computing every output under a fresh temp
+    # name first. A single select with an output aliased back to an
+    # input name (tag AS tag) trips Spark's lateral-column-alias
+    # resolution INSIDE higher-order-function lambdas: deferred lambda
+    # analysis binds `tag` to the same-select alias (the rewritten tag)
+    # while the rest of the expression bound to the child — mixed old/
+    # new references (caught by hypothesis: ${tag_suffix[0]} computed
+    # suffixes of the OUTPUT tag, and crashed slice() with negative
+    # lengths when part counts differed).
+    tmp = {f"__reform_{i}": (k, col) for i, (k, col) in enumerate(out.items())}
+    step1 = df.select(
+        new_tag.alias("__reform_tag"),
+        time_expr.alias("__reform_time"),
+        *[col.alias(t) for t, (_, col) in tmp.items()],
+    )
+    projected = step1.select(
+        F.col("__reform_tag").alias(ctx.tag_col),
+        F.col("__reform_time").alias(ctx.time_col),
+        *[F.col(t).alias(k) for t, (k, _) in tmp.items()],
     )
     # nil-tag drop (core.rb:105)
     return projected.filter(F.col("`%s`" % ctx.tag_col).isNotNull())

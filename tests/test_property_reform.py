@@ -1,0 +1,106 @@
+"""Property-based equivalence: for random tags, records, and transform
+specs, the compiled Spark reform must equal the pure-Python reference
+oracle (tests/reference_oracle.py) field-for-field — including
+null-handling, negative/out-of-range indexes, auto_typecast native
+passthrough, renew/keep/remove interplay, and drop-on-null-tag.
+
+This is the class of coverage the reference's own example-based suite
+lacks; hypothesis shrinks any failure to a minimal spec."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from fluent_plugin_record_reformer_spark import (  # noqa: E402
+    ReformContext,
+    TransformSpec,
+    reform,
+)
+from tests.reference_oracle import reform_event  # noqa: E402
+
+HOST = "prop-host"
+WORDS = ["alpha", "beta", "gamma", "x9", "log"]
+RECORD_KEYS = ["msg", "level", "code"]
+
+tag_st = st.lists(st.sampled_from(WORDS), min_size=1, max_size=4).map(".".join)
+
+value_st = st.one_of(
+    st.sampled_from(WORDS),
+    st.integers(min_value=-5, max_value=99),
+    st.none(),
+)
+record_st = st.fixed_dictionaries({k: value_st for k in RECORD_KEYS})
+
+placeholder_st = st.one_of(
+    st.just("${tag}"),
+    st.just("${hostname}"),
+    st.integers(-3, 3).map(lambda i: f"${{tag_parts[{i}]}}"),
+    st.integers(-3, 3).map(lambda i: f"${{tag_prefix[{i}]}}"),
+    st.integers(-3, 3).map(lambda i: f"${{tag_suffix[{i}]}}"),
+    st.sampled_from(RECORD_KEYS).map(lambda k: f"${{record['{k}']}}"),
+    st.sampled_from(RECORD_KEYS).map(lambda k: f"${{{k}}}"),
+    st.just("${no_such_key}"),
+)
+piece_st = st.one_of(placeholder_st, st.sampled_from(["-", "pre", "suf", ""]))
+template_st = st.lists(piece_st, min_size=1, max_size=4).map("".join)
+
+spec_st = st.builds(
+    dict,
+    tag=st.one_of(st.just("out.${tag}"), st.just("${tag_parts[0]}.done"), template_st),
+    record=st.dictionaries(
+        st.sampled_from(["f1", "f2", "msg"]), template_st, min_size=1, max_size=3
+    ),
+    remove_keys=st.lists(st.sampled_from(RECORD_KEYS), max_size=2, unique=True),
+    renew_record=st.booleans(),
+    auto_typecast=st.booleans(),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(tag=tag_st, record=record_st, spec_kw=spec_st)
+def test_reform_matches_python_oracle(spark, tag, record, spec_kw):
+    spec = TransformSpec(**spec_kw)
+    df = spark.createDataFrame(
+        [(tag, "2010-05-04 03:02:01", *[record[k] for k in RECORD_KEYS])],
+        f"tag string, ts string, {', '.join(k + (' string' if not isinstance(record[k], int) else ' long') for k in RECORD_KEYS)}",
+    ).selectExpr("tag", "CAST(ts AS TIMESTAMP) AS ts", *RECORD_KEYS)
+
+    rows = reform(df, spec, ReformContext(hostname=HOST)).collect()
+    want_tag, want_record = reform_event(
+        spec, tag, "2010-05-04 03:02:01", record, HOST
+    )
+
+    if want_tag is None or want_tag == "":
+        # single-placeholder tag that resolved to nothing -> drop
+        if want_tag is None:
+            assert rows == [], f"expected drop, got {rows}"
+            return
+
+    assert len(rows) == 1, f"expected 1 row, got {rows}"
+    got = rows[0].asDict()
+    # the engine's routing key is always a string column; the reference
+    # would emit a native-typed tag under auto_typecast (degenerate) —
+    # documented deviation, so compare stringified
+    assert got["tag"] == str(want_tag)
+    for key, want_val in want_record.items():
+        if key == "ts":
+            continue
+        got_val = got.get(key)
+        # ints may come back as int/long; compare stringified when the
+        # oracle stringified (template path), natively otherwise
+        if isinstance(want_val, str):
+            assert str(got_val if got_val is not None else "") == want_val or (
+                got_val is None and want_val == ""
+            ), (key, got_val, want_val)
+        else:
+            assert got_val == want_val, (key, got_val, want_val)
