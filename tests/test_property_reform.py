@@ -50,16 +50,30 @@ placeholder_st = st.one_of(
 piece_st = st.one_of(placeholder_st, st.sampled_from(["-", "pre", "suf", ""]))
 template_st = st.lists(piece_st, min_size=1, max_size=4).map("".join)
 
-spec_st = st.builds(
-    dict,
-    tag=st.one_of(st.just("out.${tag}"), st.just("${tag_parts[0]}.done"), template_st),
-    record=st.dictionaries(
-        st.sampled_from(["f1", "f2", "msg"]), template_st, min_size=1, max_size=3
-    ),
-    remove_keys=st.lists(st.sampled_from(RECORD_KEYS), max_size=2, unique=True),
-    renew_record=st.booleans(),
-    auto_typecast=st.booleans(),
-)
+@st.composite
+def spec_st(draw):
+    renew = draw(st.booleans())
+    return {
+        "tag": draw(
+            st.one_of(
+                st.just("out.${tag}"), st.just("${tag_parts[0]}.done"), template_st
+            )
+        ),
+        "record": draw(
+            st.dictionaries(
+                st.sampled_from(["f1", "f2", "msg"]), template_st, min_size=1, max_size=3
+            )
+        ),
+        "remove_keys": draw(
+            st.lists(st.sampled_from(RECORD_KEYS), max_size=2, unique=True)
+        ),
+        "renew_record": renew,
+        # keep_keys requires renew_record (core.rb:52-55)
+        "keep_keys": draw(st.lists(st.sampled_from(RECORD_KEYS), max_size=2, unique=True))
+        if renew
+        else [],
+        "auto_typecast": draw(st.booleans()),
+    }
 
 
 @settings(
@@ -67,7 +81,7 @@ spec_st = st.builds(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
-@given(tag=tag_st, record=record_st, spec_kw=spec_st)
+@given(tag=tag_st, record=record_st, spec_kw=spec_st())
 def test_reform_matches_python_oracle(spark, tag, record, spec_kw):
     spec = TransformSpec(**spec_kw)
     df = spark.createDataFrame(
