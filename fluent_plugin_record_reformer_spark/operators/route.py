@@ -31,31 +31,41 @@ UNMATCHED = "__unmatched__"
 
 
 def glob_to_regex(pattern: str) -> str:
-    """Compile one fluentd tag glob to an anchored Java regex."""
+    """Compile one fluentd tag glob to an anchored Java regex.
+
+    Part-based construction so ``**`` truly matches ZERO or more parts
+    in every position: ``**.a`` matches ``a`` and ``x.a``; ``a.**``
+    matches ``a`` and ``a.b.c``; ``a.**.b`` matches ``a.b`` and
+    ``a.x.b`` (the char-based predecessor compiled a leading ``**.`` to
+    ``.*\\.``, wrongly requiring at least one part — caught by the
+    differential property test against an independent part matcher).
+    """
+    parts = pattern.split(".")
+
+    def part_regex(p: str) -> str:
+        if p == "*":
+            return r"[^.]+"  # exactly one part (no dots)
+        if p.startswith("{") and p.endswith("}"):
+            return "(" + "|".join(re.escape(a) for a in p[1:-1].split(",")) + ")"
+        return re.escape(p)
+
     out: list[str] = []
-    i = 0
-    while i < len(pattern):
-        c = pattern[i]
-        if pattern[i : i + 3] == ".**":
-            out.append(r"(\..+)?")  # zero or more additional parts
-            i += 3
-        elif pattern[i : i + 2] == "**":
-            out.append(r".*")
-            i += 2
-        elif c == "*":
-            out.append(r"[^.]+")  # exactly one part (no dots)
-            i += 1
-        elif c == "{":
-            j = pattern.index("}", i)
-            alts = pattern[i + 1 : j].split(",")
-            out.append("(" + "|".join(re.escape(a) for a in alts) + ")")
-            i = j + 1
-        elif c == ".":
+    for i, p in enumerate(parts):
+        first, last = i == 0, i == len(parts) - 1
+        if p == "**":
+            if last:
+                # zero or more trailing parts; the separator is optional
+                out.append(r".*" if first else r"(\..+)?")
+            elif first:
+                out.append(r"(?:[^.]+\.)*")  # zero or more leading parts
+            else:
+                out.append(r"(?:\.[^.]+)*")  # zero or more middle parts
+                out.append(r"\.")  # separator owed to the NEXT part
+            continue
+        if not first and parts[i - 1] != "**":
+            # a preceding ** already emitted the owed separator
             out.append(r"\.")
-            i += 1
-        else:
-            out.append(re.escape(c))
-            i += 1
+        out.append(part_regex(p))
     return "^" + "".join(out) + "$"
 
 
