@@ -498,15 +498,18 @@ def q_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = regex_parse(
         _transcripts(spark, sf_dir),
         r"event=(?P<petype>purchase|signup) value=(?P<pval>[+-]?\d+(?:\.\d+)?) .*",
-        types={"pval": "double"},
+        types={"pval": "decimal(18,2)"},
     )
+    # sum_val_cents: the value sum crosses the oracle boundary as an
+    # EXACT integer (decimal cents), never a rounded double — float
+    # rendering/rounding can differ between engines' normalizers.
     return parsed.groupBy("role").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.count("petype").alias("n_parsed"),
         F.sum(F.when(F.col("petype").isNull(), 1).otherwise(0)).alias("n_failed"),
-        F.round(F.sum(F.coalesce(F.col("pval").cast(DEC), F.lit(0).cast(DEC))).cast("double"), 2).alias(
-            "sum_val"
-        ),
+        (
+            F.sum(F.coalesce(F.col("pval"), F.lit(0).cast("decimal(18,2)"))) * 100
+        ).cast("long").alias("sum_val_cents"),
     )
 
 
@@ -568,12 +571,16 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_s",
         F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w),
     )
+    # The mean gap crosses the oracle boundary as an exact rational
+    # pair (sum, count) of BIGINTs — avg()+round() doubles can differ
+    # between engines' float normalizers on ties.
     return gaps.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
             "duration_s"
         ),
-        F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        F.sum("gap_s").alias("sum_gap_s"),
+        F.count("gap_s").alias("n_gaps"),
         F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
             "n_assistant"
         ),
@@ -961,7 +968,8 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            count(*) AS n_turns,
            CAST(floor(epoch(max(ts))) AS BIGINT)
              - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
-           round(avg(gap_s), 2) AS avg_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+           count(gap_s) AS n_gaps,
            sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant
     FROM gaps GROUP BY conv_id
     """,
@@ -1038,14 +1046,14 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     , parsed AS (
       SELECT role,
              nullif(regexp_extract(text, 'event=(purchase|signup) value=([+-]?\d+(?:\.\d+)?) .*', 1), '') AS petype,
-             CAST(nullif(regexp_extract(text, 'event=(purchase|signup) value=([+-]?\d+(?:\.\d+)?) .*', 2), '') AS DOUBLE) AS pval
+             CAST(nullif(regexp_extract(text, 'event=(purchase|signup) value=([+-]?\d+(?:\.\d+)?) .*', 2), '') AS DECIMAL(18,2)) AS pval
       FROM transcripts
     )
     SELECT role,
            count(*) AS n_turns,
            count(petype) AS n_parsed,
            sum(CASE WHEN petype IS NULL THEN 1 ELSE 0 END) AS n_failed,
-           round(CAST(sum(coalesce(CAST(pval AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_val
+           CAST(sum(coalesce(pval, CAST(0 AS DECIMAL(18,2)))) * 100 AS BIGINT) AS sum_val_cents
     FROM parsed GROUP BY role
     """,
 }

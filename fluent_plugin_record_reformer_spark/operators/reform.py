@@ -86,10 +86,24 @@ def reform(
         )
 
     # -- renew_time_key (core.rb:106-108): to_i → unix seconds ---------
+    # Ruby #to_i parity (core.rb:107): "123.45".to_i == 123 (truncate
+    # toward zero, NOT bigint-parse-or-nothing), "12abc".to_i == 12
+    # (leading-integer parse), non-numeric strings == 0. A NULL field
+    # keeps the original event time — the columnar analog of "key not
+    # in record" (a fixed schema can't distinguish absent from null).
     time_expr: Column = _quoted(ctx.time_col)
     if spec.renew_time_key and spec.renew_time_key in out:
-        renewed = F.timestamp_seconds(out[spec.renew_time_key].try_cast("bigint"))
-        time_expr = F.coalesce(renewed, time_expr)
+        raw = out[spec.renew_time_key]
+        to_i = F.coalesce(
+            raw.try_cast("double").cast("long"),  # numerics + numeric strings
+            F.regexp_extract(
+                raw.cast("string"), r"^\s*([+-]?\d+)", 1
+            ).try_cast("long"),  # String#to_i leading-integer parse
+            F.lit(0).cast("long"),  # "abc".to_i == 0
+        )
+        time_expr = F.when(
+            raw.isNotNull(), F.timestamp_seconds(to_i)
+        ).otherwise(time_expr)
 
     # -- remove_keys LAST (core.rb:109) --------------------------------
     for k in spec.remove_keys:

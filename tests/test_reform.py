@@ -110,6 +110,36 @@ def test_renew_time_key(spark):
     assert "event_time_key" not in out[0].asDict()
 
 
+def test_renew_time_key_ruby_to_i_parity(spark):
+    # core.rb:107 runs the field through Ruby #to_i — truncate toward
+    # zero for numeric strings, leading-integer parse, 0 for garbage.
+    cases = [
+        ("1354689632", 1354689632),  # plain integer string
+        ("123.45", 123),             # "123.45".to_i == 123
+        ("-1.5", -1),                # truncate toward zero, not floor
+        ("+5", 5),                   # explicit sign accepted
+        ("12abc", 12),               # leading-integer parse
+        ("  42", 42),                # leading whitespace skipped
+        ("abc", 0),                  # "abc".to_i == 0
+    ]
+    df = spark.createDataFrame(
+        [Row(tag="test.tag", ts=TS, k=str(i), tkey=v) for i, (v, _) in enumerate(cases)]
+    )
+    spec = TransformSpec(tag="t", renew_time_key="tkey")
+    out = reform(df, spec, ReformContext(hostname=HOST)).collect()
+    got = {r["k"]: r["ts"] for r in out}
+    for i, (_, want_epoch) in enumerate(cases):
+        want = dt.datetime.fromtimestamp(want_epoch, dt.timezone.utc).replace(tzinfo=None)
+        assert got[str(i)] == want, f"case {cases[i][0]!r}"
+    # NULL field value keeps the original time (columnar analog of
+    # "key absent"; a fixed schema cannot distinguish absent from null)
+    df_null = spark.createDataFrame(
+        [("test.tag", TS, None)], "tag string, ts timestamp, tkey string"
+    )
+    out = reform(df_null, spec, ReformContext(hostname=HOST)).collect()
+    assert out[0]["ts"] == TS
+
+
 def test_renew_time_key_from_spec_field(spark):
     # renew_time_key may read a field the spec itself added
     df = simple_df(spark, n=1)
