@@ -72,12 +72,3 @@ def shingle_base_hash(col: Column) -> Column:
     return (
         F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MINHASH_P
     )
-
-
-def hex_nibble_bit(hex_col: Column, bit: int) -> Column:
-    """Bit ``bit`` (0-based, 4 bits per hex char) of a lowercase hex
-    string, as 0/1 int. Portable: position arithmetic on the nibble
-    char, no engine bit-ops on blobs."""
-    nibble = F.substring(hex_col, 1 + bit // 4, 1)
-    idx = F.instr(F.lit("0123456789abcdef"), nibble) - 1
-    return (F.floor(idx / (2 ** (bit % 4))) % 2).cast("int")

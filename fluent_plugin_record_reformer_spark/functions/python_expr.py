@@ -80,6 +80,7 @@ def python_expr_column(
     # keys that aren't valid identifiers (reference compat kit,
     # test_out_record_reformer.rb:631-662) — collect those string
     # subscripts so the columns survive pruning
+    static_record_nodes: set[int] = set()
     for n in ast.walk(tree):
         if (
             isinstance(n, ast.Subscript)
@@ -89,8 +90,21 @@ def python_expr_column(
             and isinstance(n.slice.value, str)
         ):
             referenced.add(n.slice.value)
+            static_record_nodes.add(id(n.value))
+    # `record` used any way OTHER than a constant-string subscript
+    # (record[key_var], record.get('col'), bare `record`) can touch any
+    # column — pruning would silently null the whole field at runtime
+    # (missing column inside the blanket except). Ship everything.
+    dynamic_record = any(
+        isinstance(n, ast.Name)
+        and n.id == "record"
+        and id(n) not in static_record_nodes
+        for n in ast.walk(tree)
+    )
     if extra_cols is not None:
         cols = list(extra_cols)
+    elif dynamic_record:
+        cols = list(df.columns)
     else:
         cols = [c for c in df.columns if c in referenced]
     want_tag_parts = "tag_parts" in referenced

@@ -14,7 +14,10 @@ fluentd glob semantics (public fluentd match rules):
   not ``a`` or ``a.b.c``
 - ``**`` matches zero or more parts: ``a.**`` matches ``a``, ``a.b``,
   ``a.b.c``
-- ``{x,y}`` alternation is supported inside a part
+- ``{x,y}`` alternation is supported anywhere — mid-part
+  (``a.x{b,c}``) and with alternatives containing dots (``{a.b,c}``),
+  matching fluentd's GlobMatchPattern; expansion happens before the
+  pattern is split into parts (see :func:`expand_braces`)
 """
 
 from __future__ import annotations
@@ -30,24 +33,72 @@ from pyspark.sql import functions as F
 UNMATCHED = "__unmatched__"
 
 
-def glob_to_regex(pattern: str) -> str:
-    """Compile one fluentd tag glob to an anchored Java regex.
+def expand_braces(pattern: str) -> list[str]:
+    """Expand ``{a,b}`` alternation into the cartesian set of
+    brace-free glob patterns. fluentd's GlobMatchPattern allows braces
+    ANYWHERE — mid-part (``a.x{b,c}``) and with alternatives that
+    contain dots (``{a.b,c}``) — so alternation must be resolved
+    BEFORE the pattern is split into dot-parts. Nested braces expand
+    recursively; an unbalanced brace raises (never a silently
+    never-matching regex)."""
+    depth = 0
+    start = -1
+    for i, ch in enumerate(pattern):
+        if ch == "{":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced '}}' in tag glob {pattern!r}")
+            if depth == 0:
+                head, body, tail = pattern[:start], pattern[start + 1 : i], pattern[i + 1 :]
+                alts: list[str] = []
+                d = 0
+                cur = ""
+                for c in body:
+                    if c == "{":
+                        d += 1
+                    elif c == "}":
+                        d -= 1
+                    if c == "," and d == 0:
+                        alts.append(cur)
+                        cur = ""
+                    else:
+                        cur += c
+                alts.append(cur)
+                return [
+                    expanded
+                    for a in alts
+                    for expanded in expand_braces(head + a + tail)
+                ]
+    if depth != 0:
+        raise ValueError(f"unbalanced '{{' in tag glob {pattern!r}")
+    return [pattern]
+
+
+def _glob_body(pattern: str) -> str:
+    """Regex body (unanchored) for ONE brace-free glob pattern.
 
     Part-based construction so ``**`` truly matches ZERO or more parts
     in every position: ``**.a`` matches ``a`` and ``x.a``; ``a.**``
     matches ``a`` and ``a.b.c``; ``a.**.b`` matches ``a.b`` and
-    ``a.x.b`` (the char-based predecessor compiled a leading ``**.`` to
+    ``a.x.b`` (a char-based compiler turns a leading ``**.`` into
     ``.*\\.``, wrongly requiring at least one part — caught by the
     differential property test against an independent part matcher).
     """
     parts = pattern.split(".")
+    # consecutive ** parts are one zero-or-more-parts wildcard
+    # (a.**.**.b == a.**.b; emitting two would demand an empty part)
+    parts = [p for i, p in enumerate(parts) if not (p == "**" and i > 0 and parts[i - 1] == "**")]
 
     def part_regex(p: str) -> str:
         if p == "*":
             return r"[^.]+"  # exactly one part (no dots)
-        if p.startswith("{") and p.endswith("}"):
-            return "(" + "|".join(re.escape(a) for a in p[1:-1].split(",")) + ")"
-        return re.escape(p)
+        # '*' inside a part (a.x* style prefix match) — zero or more
+        # non-dot chars, fluentd GlobMatchPattern semantics
+        return "".join(r"[^.]*" if ch == "*" else re.escape(ch) for ch in p)
 
     out: list[str] = []
     for i, p in enumerate(parts):
@@ -66,7 +117,17 @@ def glob_to_regex(pattern: str) -> str:
             # a preceding ** already emitted the owed separator
             out.append(r"\.")
         out.append(part_regex(p))
-    return "^" + "".join(out) + "$"
+    return "".join(out)
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Compile one fluentd tag glob to an anchored Java regex:
+    brace alternation expanded first (see :func:`expand_braces`),
+    each brace-free expansion compiled part-based, OR-joined."""
+    bodies = [_glob_body(p) for p in expand_braces(pattern)]
+    if len(bodies) == 1:
+        return "^" + bodies[0] + "$"
+    return "^(?:" + "|".join(bodies) + ")$"
 
 
 @dataclass(frozen=True)

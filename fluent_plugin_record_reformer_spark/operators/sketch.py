@@ -52,7 +52,12 @@ def kmv_distinct(
     Exact when the group has fewer than k distinct values (the sketch
     degenerates to plain counting), the KMV estimate otherwise.
     """
-    hashed = df.select(*group_cols, kmv_hash(value_col).alias("_h"))
+    # NULL values carry no identity: drop them on BOTH engines (Spark's
+    # collect_set drops nulls implicitly, DuckDB's list(DISTINCT) keeps
+    # them and a null would displace a real k-min after sorting).
+    hashed = df.select(*group_cols, kmv_hash(value_col).alias("_h")).filter(
+        F.col("_h").isNotNull()
+    )
     mins = hashed.groupBy(*group_cols).agg(
         F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_kmin")
     )
@@ -117,7 +122,7 @@ WITH hashed AS (
   SELECT {sel_groups}{h} AS _h FROM {from_clause}
 ), mins AS (
   SELECT {sel_groups}list_slice(list_sort(list(DISTINCT _h)), 1, {k}) AS _kmin
-  FROM hashed {by}
+  FROM hashed WHERE _h IS NOT NULL {by}
 )
 SELECT {sel_groups}CAST(round(
          CASE WHEN len(_kmin) < {k} THEN CAST(len(_kmin) AS DOUBLE)

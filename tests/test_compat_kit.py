@@ -70,3 +70,20 @@ def test_expr_failure_still_emits_event(spark):
     rows = reform(df, spec, ReformContext(hostname="h")).collect()
     assert len(rows) == 1
     assert rows[0]["_broken"] is None
+
+
+def test_dynamic_record_access_ships_all_columns(spark):
+    # record[<non-constant key>] / record.get(...) can touch any column:
+    # AST pruning must fall back to shipping everything, else the
+    # expression hits a missing column and silently nulls the field.
+    df = _fixture(spark)
+    spec = TransformSpec(
+        tag="tag",
+        python_exprs={
+            "_dyn_sub": "record[str('mess' + 'age')]",   # dynamic subscript
+            "_dyn_get": "record.get('hex')",             # attribute access
+        },
+    )
+    row = reform(df, spec, ReformContext(hostname="h")).collect()[0]
+    assert row["_dyn_sub"] == "10"
+    assert row["_dyn_get"] == "the hex is 0x10 here"

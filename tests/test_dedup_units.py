@@ -41,3 +41,34 @@ def test_max_bucket_caps_identical_doc_flood(spark):
     flood_ids = set(range(20))
     got_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert not any(a in flood_ids and b in flood_ids for a, b in got_pairs)
+
+
+def test_kmv_null_values_ignored(spark):
+    """NULL values must not enter the sketch on either engine (a null
+    sorts first in DuckDB's list(DISTINCT) and would displace a real
+    k-min); Spark estimate == estimate without nulls == DuckDB mirror."""
+    import duckdb
+    import pandas as pd
+
+    from fluent_plugin_record_reformer_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_oracle_sql,
+    )
+
+    rows = [("g1", str(i)) for i in range(300)] + [("g1", None)] * 5
+    rows += [("g2", str(i)) for i in range(10)] + [("g2", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: r["approx_distinct"] for r in kmv_distinct(df, "v", ["g"], k=64).collect()}
+    no_nulls = {
+        r["g"]: r["approx_distinct"]
+        for r in kmv_distinct(df.filter(F.col("v").isNotNull()), "v", ["g"], k=64).collect()
+    }
+    assert got == no_nulls
+    assert got["g2"] == 10  # degenerates to exact below k
+
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(rows, columns=["g", "v"]))
+    want = dict(
+        con.execute(kmv_oracle_sql("v", ["g"], "tbl", k=64)).fetchall()
+    )
+    assert got == want
