@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from fluent_plugin_record_reformer_spark import ReformContext, TransformSpec, reform
 from fluent_plugin_record_reformer_spark.functions import oracle_mirrors as om
-from fluent_plugin_record_reformer_spark.functions.hashing import poly_fingerprint
 from fluent_plugin_record_reformer_spark.functions.text import (
     language_id,
     language_id_oracle_sql,
@@ -33,11 +32,9 @@ from fluent_plugin_record_reformer_spark.functions.text import (
 )
 from fluent_plugin_record_reformer_spark.operators.aggregate import salted_agg
 from fluent_plugin_record_reformer_spark.operators.dedup import (
-    jaccard_pairs,
-    lsh_candidate_pairs,
-    minhash_lsh,
-    minhash_signature,
-    with_simhash,
+    doc_fingerprints,
+    lsh_near_dup,
+    simhash_by_id,
 )
 from fluent_plugin_record_reformer_spark.operators.enrich import (
     enrich,
@@ -359,36 +356,26 @@ MINHASH_K, LSH_BANDS, SHINGLE_N = 16, 4, 3
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: MinHash(16) -> LSH(4 bands x 4 rows) bucket
-    self-join -> exact shingle-Jaccard on the candidate pairs."""
+    grouping -> exact shingle-hash Jaccard, sets carried through the
+    band pair-gen (no join back to the text)."""
     docs = load_table(spark, sf_dir, "documents")
-    banded = minhash_lsh(
+    return lsh_near_dup(
         docs, num_hashes=MINHASH_K, bands=LSH_BANDS, shingle_n=SHINGLE_N
     )
-    pairs = lsh_candidate_pairs(banded)
-    return jaccard_pairs(docs, pairs, shingle_n=SHINGLE_N)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16-bit) document fingerprints, one fold per doc."""
+    """SimHash(16-bit) document fingerprints: codegen'd md5 per
+    exploded token, 16 partial-aggregated vote sums per doc."""
     docs = load_table(spark, sf_dir, "documents")
-    return with_simhash(docs, bits=16).select("doc_id", "simhash")
+    return simhash_by_id(docs, bits=16)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: Rabin-Karp rolling hash over chars +
-    winnowed min shingle digest."""
-    from fluent_plugin_record_reformer_spark.sources.tables import (
-        ensure_compute_parallelism,
-    )
-
-    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        poly_fingerprint("text").alias("poly_fp"),
-        minhash_signature(F.col("text"), num_hashes=1, shingle_n=SHINGLE_N)[0].alias(
-            "winnow_fp"
-        ),
-    )
+    winnowed min shingle digest (md5 codegen'd post-explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprints(docs, shingle_n=SHINGLE_N)
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,7 +662,8 @@ WITH toks AS (
 ), shing AS (
   SELECT doc_id, {sh} AS s FROM toks
 ), based AS (
-  SELECT doc_id, {base} AS barr, list_distinct(s) AS sset FROM shing
+  SELECT doc_id, {base} AS barr,
+         list_distinct({om.sql_hash60_list("s")}) AS sset FROM shing
 ), sigs AS (
   SELECT doc_id, [{sig}] AS sig, sset FROM based
 ), bands AS ( SELECT doc_id, {bands} FROM sigs

@@ -36,6 +36,15 @@ def sql_minhash(shingles_expr: str, seed: int) -> str:
     )
 
 
+def sql_hash60_list(shingles_expr: str) -> str:
+    """Mirror of dedup._hash60 over a shingle list: md5 -> 15 hex chars
+    -> int64 (the 60-bit hash carried as the doc's shingle set)."""
+    return (
+        f"list_transform({shingles_expr}, "
+        f"s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))"
+    )
+
+
 def sql_shingle_base_hash(shingles_expr: str) -> str:
     """Mirror of hashing.shingle_base_hash over a shingle list."""
     return (

@@ -3,19 +3,24 @@ SimHash, and n-gram-Jaccard verification of LSH candidates.
 
 Design for 10^12-row scale:
 
-- Signatures are pure Column expressions (md5-family hashes,
-  functions/hashing.py) computed in the scan projection — no Python,
-  no shuffle.
-- The ONLY shuffles are (a) the exact-dedup groupBy on the text hash
-  and (b) the LSH band-bucket self-join; both shuffle keys are
-  uniformly-distributed hashes, so no salting is needed except for
-  pathological bucket skew (identical-doc floods), which
-  ``lsh_candidate_pairs(max_bucket=...)`` caps: a bucket with more
-  members than the cap is itself proof of duplication and is reported
-  wholesale rather than expanded into O(n^2) pairs.
-- Candidate verification joins tokens back by doc id — at scale,
-  carry the (small) distinct-token arrays through the band explode
-  instead if token re-read is the bottleneck.
+- **Hashing runs as codegen'd scalar columns over EXPLODED rows**, not
+  inside array higher-order functions. Catalyst evaluates HOF lambdas
+  (transform/aggregate) interpreted — outside whole-stage codegen — so
+  an md5-per-token/shingle expressed as ``F.transform(arr, md5)`` is
+  the scale-limiting path (measured: the staged-HOF round-1 variant
+  spent 9.5 s on 5k docs in simhash alone). The explode shape instead
+  pays one narrow shuffle (partial-aggregated per-doc state: 16 int64
+  mins / 16 vote sums) and keeps every md5 inside WholeStageCodegen.
+- The shuffles are (a) the per-doc re-aggregation keyed on the doc id
+  and (b) the LSH band-bucket groupBy; both keys are uniform, so no
+  salting is needed except for pathological bucket skew
+  (identical-doc floods), which ``max_bucket`` caps: a bucket with
+  more members than the cap is itself proof of duplication and is
+  reported wholesale rather than expanded into O(n^2) pairs.
+- Candidate verification carries each doc's DISTINCT 60-bit shingle
+  hashes through the band pair-gen (``lsh_near_dup``), so Jaccard is
+  computed inside the bucket with zero joins back to the text — the
+  round-1 variant re-tokenized both join sides.
 
 Reference anchor: the reference has no dedup (it is a per-event
 transform, out_record_reformer/core.rb:98-112); these operators are the
@@ -29,12 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (
-    MINHASH_P,
-    affine_consts,
-    seeded_md5,
-    shingle_base_hash,
-)
+from ..functions.hashing import MINHASH_P, affine_consts, seeded_md5
 from ..functions.text import shingles, word_tokens
 from ..sources.tables import ensure_compute_parallelism
 
@@ -48,43 +48,71 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(
-    text: Column, *, num_hashes: int = 16, shingle_n: int = 3
-) -> Column:
-    """Array of ``num_hashes`` lexicographic-min md5 digests over the
-    document's token n-gram shingles — a valid MinHash signature (each
-    seeded digest order is a uniform permutation of shingle space)."""
-    sh = shingles(word_tokens(text), shingle_n)
+def _hash60(col: Column) -> Column:
+    """md5 -> first 15 hex chars (60 bits) -> int64. Codegen'd scalar.
+    DuckDB mirror: ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    def hash_with_seed(i: int):
-        # NB: must be a ONE-parameter lambda — a second (default) param
-        # would make F.transform pass the array index into it.
-        return lambda s: seeded_md5(s, i)
 
-    return F.array(
-        *[F.array_min(F.transform(sh, hash_with_seed(i))) for i in range(num_hashes)]
+def _exploded_shingle_hashes(
+    df: DataFrame, *, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, _h60) — one row per shingle occurrence, md5 as a codegen'd
+    scalar. Shingle construction stays an (interpreted but cheap)
+    array expression; the expensive digest runs post-explode."""
+    toks = ensure_compute_parallelism(df).select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
     )
+    sh = toks.select(F.col(id_col), shingles(F.col("_toks"), shingle_n).alias("_sh"))
+    # explode_outer: shingles() always yields >=1 element, so OUTER is
+    # semantically identical — but plain explode plans a pushed-down
+    # `size(_sh) > 0` Filter whose condition INLINES the whole
+    # tokenize+shingle expression once per reference (measured 9
+    # regexp_extract_all sites per row); outer explode plans none.
+    ex = sh.select(F.col(id_col), F.explode_outer("_sh").alias("_s"))
+    return ex.select(F.col(id_col), _hash60(F.col("_s")).alias("_h60"))
 
 
-def band_keys(signature: Column, *, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: md5 of each band's slice of the signature. Two docs
-    land in the same bucket of band j iff their signature rows
-    j*r..j*r+r-1 all match. Signature values are stringified for the
-    digest (plain decimal — identical in both engines)."""
-    as_str = F.transform(signature, lambda x: x.cast("string"))
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(j)),
-                    F.array_join(
-                        F.slice(as_str, j * rows_per_band + 1, rows_per_band), "|"
-                    ),
-                )
-            )
-            for j in range(bands)
-        ]
+def _signature_frame(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    carry_sets: bool,
+) -> DataFrame:
+    """(id, _m0.._m{K-1}[, _sset]) — MinHash signature as K scalar
+    columns via partial-aggregated mins over exploded shingle hashes.
+
+    One md5 per shingle occurrence (codegen); the K signature rows are
+    cheap affine permutations h_i(x) = (a_i*x + b_i) mod P over the
+    60-bit hash reduced mod P (x, a_i, b_i < P ~ 2^30 keeps products
+    exact in int64 on both engines). ``carry_sets`` additionally
+    collects the doc's distinct 60-bit hashes for join-free Jaccard.
+    """
+    hashed = _exploded_shingle_hashes(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).select(F.col(id_col), F.col("_h60"), (F.col("_h60") % MINHASH_P).alias("_b"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = affine_consts(i)
+        aggs.append(F.min((F.col("_b") * a + b) % MINHASH_P).alias(f"_m{i}"))
+    if carry_sets:
+        aggs.append(F.collect_set("_h60").alias("_sset"))
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def _band_key(j: int, rows_per_band: int) -> Column:
+    """Bucket key of band j from the scalar signature columns:
+    md5('j|m_{jr}|...|m_{jr+r-1}') — byte-identical to the oracle's
+    sql_band_key over the signature list."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(str(j)),
+            *[F.col(f"_m{j * rows_per_band + t}").cast("string") for t in range(rows_per_band)],
+        )
     )
 
 
@@ -96,51 +124,42 @@ def minhash_lsh(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    carry_sets: bool = False,
 ) -> DataFrame:
     """id -> exploded (band_idx, bucket) rows, ready for the bucket
-    self-join. bands * rows_per_band == num_hashes."""
+    groupBy. bands * rows_per_band == num_hashes. With ``carry_sets``
+    each row also carries ``_sset`` (the doc's distinct shingle
+    hashes) for join-free Jaccard in :func:`lsh_near_dup`."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-
-    # One md5 per shingle (the expensive part), reduced to int64; the
-    # num_hashes signature rows are cheap affine permutations
-    # (a_i*x + b_i) mod P — the standard universal-hash MinHash family.
-    # vs md5-per-seed this cuts digest work num_hashes-fold (measured
-    # 30s -> ~4s at sf0.1).
-    #
-    # Staged projections: shingles -> base hashes -> signature -> band
-    # keys. Each stage references the previous ALIASED column; inlining
-    # would blow the (interpreted, HOF) expression tree up ~64x
-    # (measured: 500 docs took 54s inlined, <2s staged). CollapseProject
-    # keeps non-cheap multi-referenced aliases in their own projection,
-    # so the stages survive Catalyst.
-    def affine(i: int):
-        a, b = affine_consts(i)
-        return lambda x: (x * a + b) % MINHASH_P
-
-    toks = ensure_compute_parallelism(df).select(
-        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+    sig = _signature_frame(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        carry_sets=carry_sets,
     )
-    sh = toks.select(
-        F.col(id_col), shingles(F.col("_toks"), shingle_n).alias("_sh")
-    )
-    base = sh.select(
-        F.col(id_col),
-        F.transform(F.col("_sh"), shingle_base_hash).alias("_base"),
-    )
-    sig = base.select(
-        F.col(id_col),
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("_base"), affine(i)))
-                for i in range(num_hashes)
-            ]
-        ).alias("_sig"),
-    )
-    keys = band_keys(F.col("_sig"), bands=bands, rows_per_band=r)
+    keys = F.array(*[_band_key(j, r) for j in range(bands)])
+    extra = ["_sset"] if carry_sets else []
     return sig.select(
-        F.col(id_col),
-        F.posexplode(keys).alias("band_idx", "bucket"),
+        F.col(id_col), *extra, F.posexplode(keys).alias("band_idx", "bucket")
+    )
+
+
+def _bucket_pairs(members_col: str) -> Column:
+    """All ordered pairs (i<j) of a sorted bucket-member array, as an
+    array of structs — per-bucket arrays are tiny by construction, so
+    the (interpreted) nested transform touches few elements."""
+    arr = F.col(members_col)
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
 
 
@@ -165,19 +184,68 @@ def lsh_candidate_pairs(
     )
     if max_bucket is not None:
         members = members.filter(F.size("_ids") <= max_bucket)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
         members.filter(F.size("_ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        .select(F.explode(_bucket_pairs("_ids")).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_near_dup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash -> LSH banding -> exact shingle-hash Jaccard, with the
+    distinct-shingle-hash sets CARRIED THROUGH the band pair-gen: the
+    Jaccard is computed inside the bucket, with no join back to (and
+    no re-tokenization of) the document table. Jaccard is over each
+    doc's distinct 60-bit shingle hashes — identical to string-shingle
+    Jaccard up to md5 collisions (~2^-60), and mirrored exactly by the
+    oracle. A pair in several buckets computes the same Jaccard each
+    time; the final distinct() collapses them."""
+    banded = minhash_lsh(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        carry_sets=True,
+    )
+    members = banded.groupBy("band_idx", "bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_sset").alias("s")))
+        ).alias("_ms")
+    )
+    if max_bucket is not None:
+        members = members.filter(F.size("_ms") <= max_bucket)
+    pairs = (
+        members.filter(F.size("_ms") > 1)
+        .select(F.explode(_bucket_pairs("_ms")).alias("p"))
+        .select(
+            F.col("p.a.i").alias("id_a"),
+            F.col("p.b.i").alias("id_b"),
+            F.col("p.a.s").alias("_sa"),
+            F.col("p.b.s").alias("_sb"),
+        )
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
         .distinct()
     )
 
@@ -191,18 +259,15 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs; keep >= threshold.
-
-    |A u B| = |A| + |B| - |A n B| on distinct shingle sets, so only
-    array_distinct + array_intersect sizes cross the join.
-    """
+    """Exact shingle-hash Jaccard for candidate pairs that arrived
+    WITHOUT sets (e.g. from an external candidate source); keep >=
+    threshold. Prefer :func:`lsh_near_dup` for the LSH pipeline — it
+    skips both joins. |A u B| = |A| + |B| - |A n B| on distinct shingle
+    hash sets, so only int64 arrays cross the join."""
     sets = (
-        ensure_compute_parallelism(df)
-        .select(F.col(id_col), word_tokens(F.col(text_col)).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.array_distinct(shingles(F.col("_toks"), shingle_n)).alias("_set"),
-        )
+        _exploded_shingle_hashes(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("_h60").alias("_set"))
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
@@ -220,79 +285,81 @@ def jaccard_pairs(
     )
 
 
-def simhash_votes(text: Column, *, bits: int = 16) -> Column:
-    """SimHash vote vector: ONE fold over the token array computing the
-    md5 digest once per token (reduced to int64) and accumulating all
-    ``bits`` per-bit +-1 votes with exact shift/and arithmetic (token
-    multiplicity = weight). No explode, no shuffle, no string ops per
-    bit — DuckDB mirror uses the identical (h >> b) & 1."""
-    toks = word_tokens(text)
-    vote_arrays = F.transform(
-        toks,
-        lambda t: _int_votes(
-            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), bits
-        ),
+def simhash_by_id(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash) — SimHash over exploded tokens: ONE codegen'd md5
+    per token occurrence (multiplicity = weight), per-bit +-1 votes as
+    ``bits`` partial-aggregated integer sums, majority collapse.
+
+    ``explode_outer`` keeps zero-token docs (their vote sums are null
+    -> no bit set -> simhash 0, matching the fold-over-empty-array
+    semantics of the oracle)."""
+    toks = ensure_compute_parallelism(df).select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
     )
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
-    return F.aggregate(
-        vote_arrays, zero, lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x)
+    hashed = toks.select(
+        F.col(id_col), F.explode_outer("_toks").alias("_t")
+    ).select(F.col(id_col), _hash60(F.col("_t")).alias("_h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{b}")
+            for b in range(bits)
+        ]
     )
-
-
-def _int_votes(h: Column, bits: int) -> Column:
-    return F.array(
-        *[(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1) for b in range(bits)]
-    )
-
-
-def votes_to_simhash(votes: Column, *, bits: int = 16) -> Column:
-    """Collapse a vote vector to the integer simhash (bit b set iff the
-    majority of token hashes had bit b set)."""
-    out = F.lit(0).cast("long")
+    sim = F.lit(0).cast("long")
     for b in range(bits):
-        out = out + F.when(F.element_at(votes, b + 1) > 0, F.lit(2**b)).otherwise(
-            F.lit(0)
-        )
-    return out
+        sim = sim + F.when(F.col(f"_v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
 def with_simhash(
-    df: DataFrame, *, text_col: str = "text", out_col: str = "simhash", bits: int = 16
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = 16,
 ) -> DataFrame:
-    """Add a simhash column via staged projections: token digests
-    (one md5+int64 per token) -> per-bit scalar vote folds -> collapse.
+    """All input columns + a simhash column (joins :func:`simhash_by_id`
+    back on the id — when only (id, simhash) is needed, use
+    simhash_by_id directly and skip the join)."""
+    sims = simhash_by_id(df, id_col=id_col, text_col=text_col, bits=bits)
+    if out_col != "simhash":
+        sims = sims.withColumnRenamed("simhash", out_col)
+    return df.join(sims, id_col)
 
-    Identical result to ``simhash_votes`` but each bit's fold carries a
-    scalar accumulator; the single-fold variant accumulates a
-    ``bits``-element array per token (zip_with allocation per element),
-    which measures ~2x slower in interpreted HOF evaluation."""
-    hcol, vcol = f"__{out_col}_h", f"__{out_col}_votes"
 
-    def vote_fold(b: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
-        )
+def doc_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, poly_fp, winnow_fp): Rabin-Karp rolling hash over the raw
+    chars + the winnowed (min) seeded-md5 shingle digest.
 
-    staged = (
-        ensure_compute_parallelism(df)
-        .withColumn(
-            hcol,
-            F.transform(
-                word_tokens(F.col(text_col)),
-                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-            ),
-        )
-        .withColumn(
-            vcol,
-            F.array(
-                *[
-                    F.aggregate(F.col(hcol), F.lit(0).cast("long"), vote_fold(b))
-                    for b in range(bits)
-                ]
-            ),
-        )
+    The poly fold is computed ONCE per doc in the pre-explode
+    projection and carried as a plain value through the shingle
+    explode (``first()`` re-collects it); the per-shingle md5 runs
+    codegen'd post-explode."""
+    from ..functions.hashing import poly_fingerprint
+
+    toks = ensure_compute_parallelism(df).select(
+        F.col(id_col),
+        poly_fingerprint(F.col(text_col)).alias("poly_fp"),
+        word_tokens(F.col(text_col)).alias("_toks"),
     )
-    return (
-        staged.withColumn(out_col, votes_to_simhash(F.col(vcol), bits=bits))
-        .drop(hcol, vcol)
+    pre = toks.select(
+        F.col(id_col), "poly_fp", shingles(F.col("_toks"), shingle_n).alias("_sh")
+    )
+    ex = pre.select(F.col(id_col), "poly_fp", F.explode_outer("_sh").alias("_s"))
+    return ex.groupBy(id_col).agg(
+        F.first("poly_fp").alias("poly_fp"),
+        F.min(seeded_md5(F.col("_s"), 0)).alias("winnow_fp"),
     )

@@ -91,13 +91,25 @@ def test_exact_dedup_partial_agg(spark):
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
 
 
-def test_minhash_stages_survive_catalyst(spark):
-    # the staged projections (shingles -> base -> sig) must NOT be
-    # inlined into one mega-expression (that was a measured 10x blowup)
+def test_minhash_single_tokenize_no_join_back(spark):
+    # the exploded-hash design tokenizes ONCE and carries the shingle
+    # hash sets through the band pair-gen: exactly one tokenizer site,
+    # exactly one scan of documents (no jaccard join back to the text)
     df = entrymod.q_minhash_lsh_pairs(spark, SF)
     plan = _plan(df)
-    # 3 legitimate tokenizer sites: minhash signature + jaccard set per
-    # join side; anything above means a staged projection got inlined
-    assert plan.count("regexp_extract_all") <= 3, (
-        "shingle pipeline inlined too many times — staging collapsed"
+    assert plan.count("regexp_extract_all") == 1, (
+        "documents tokenized more than once — sets no longer carried"
     )
+    assert plan.count("FileScan") == 1, "jaccard re-joined the doc table"
+    # the per-doc signature re-agg must be partially aggregated
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+
+
+def test_simhash_exploded_codegen_shape(spark):
+    # md5 must run as a codegen'd scalar post-explode (one Generate
+    # node), not inside an interpreted array HOF: no `transform(`/
+    # `aggregate(` lambda wrapping md5 in the plan
+    plan = _plan(entrymod.q_simhash(spark, SF))
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+    assert "transform(" not in plan.replace("regexp_extract_all", "")
+    assert plan.count("FileScan") == 1
