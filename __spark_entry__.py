@@ -597,10 +597,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: sign-bit LSH bucket pair-gen + exact
-    cosine >= 0.2 verification."""
+    """Embedding-cosine near-dup: sign-bit LSH bucket pair-gen (flood
+    cap mirrored in the oracle) + exact cosine >= 0.2 verification."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.2, planes=8)
+    return embedding_near_dup(emb, threshold=0.2, planes=8, max_bucket=128)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -902,11 +902,14 @@ WITH v AS (
   SELECT vec_id, embedding,
          {om.sql_signbit_bucket("embedding", 8)} AS bucket
   FROM embeddings
+), ok AS (
+  SELECT bucket FROM v GROUP BY bucket HAVING count(*) <= 128
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({om.sql_cosine("a.embedding", "b.embedding", 64)}, 4) AS cos_sim
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({om.sql_cosine("a.embedding", "b.embedding", 64)}, 4) >= 0.2
+WHERE a.bucket IN (SELECT bucket FROM ok)
+  AND round({om.sql_cosine("a.embedding", "b.embedding", 64)}, 4) >= 0.2
 """,
     "knn_ivf": f"""
 WITH c AS (

@@ -162,20 +162,43 @@ def ivf_topk(
     )
 
 
+def recommended_planes(n_vectors: int, *, target_bucket: int = 64, min_planes: int = 4) -> int:
+    """Hyperplane count sized to the corpus: with balanced sign bits a
+    bucket holds ~n/2^planes members, so planes must GROW with n to
+    keep the per-bucket pair expansion (quadratic in bucket size)
+    bounded — fixed planes at 10^12 rows means 10^9-member buckets."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     *,
     threshold: float,
     planes: int = 8,
+    max_bucket: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share the
     sign-bit LSH bucket (one groupBy/collect_list pass, same pair-gen
     shape as dedup.lsh_candidate_pairs — no self-join), then exact
-    cosine >= threshold re-ranks them. At 10^12 rows the bucket count
-    grows 2^planes; hot buckets cap naturally because sign bits of
-    centered embeddings are balanced."""
+    cosine >= threshold re-ranks them.
+
+    Scale levers (sign bits do NOT cap hot buckets by themselves —
+    correlated/flooded embeddings all land in one bucket, and at fixed
+    planes bucket size grows linearly with N):
+
+    - ``planes``: derive from corpus size via :func:`recommended_planes`
+      so expected bucket size stays constant as N grows.
+    - ``max_bucket``: a bucket larger than this is reported wholesale
+      (`oversized_buckets`-style handling lives with the caller) rather
+      than expanded into O(n^2) pairs — same cap as
+      dedup.lsh_candidate_pairs.
+    """
     v = vectors.select(
         F.col(id_col), F.col(vec_col),
         signbit_bucket(F.col(vec_col), planes=planes).alias("_bucket"),
@@ -183,6 +206,8 @@ def embedding_near_dup(
     members = v.groupBy("_bucket").agg(
         F.sort_array(F.collect_list(id_col)).alias("_ids")
     )
+    if max_bucket is not None:
+        members = members.filter(F.size("_ids") <= max_bucket)
     pair_structs = F.flatten(
         F.transform(
             F.col("_ids"),

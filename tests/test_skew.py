@@ -85,3 +85,39 @@ def test_salt_is_deterministic_across_runs(spark, skewed):
     assert sorted((r["s"], r["count"]) for r in a) == sorted(
         (r["s"], r["count"]) for r in b
     )
+
+
+def test_embedding_near_dup_flood_cap(spark):
+    """Correlated embeddings all land in ONE sign-bit bucket; the cap
+    must report the flood wholesale, not expand O(n^2) pairs."""
+    import pyspark.sql.functions as F
+
+    from fluent_plugin_record_reformer_spark.operators.similarity import (
+        embedding_near_dup,
+        recommended_planes,
+    )
+
+    # 30 identical flood vectors + 6 spread vectors
+    flood = [(i, [1.0] * 8) for i in range(30)]
+    spread = [(100 + i, [(-1.0) ** (i >> d) for d in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(flood + spread, "vec_id long, embedding array<double>")
+    uncapped = embedding_near_dup(df, threshold=0.0, planes=8)
+    got = uncapped.count()
+    assert got >= 435  # C(30,2) flood pairs alone
+    capped = embedding_near_dup(df, threshold=0.0, planes=8, max_bucket=10)
+    flood_ids = set(range(30))
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a in flood_ids and b in flood_ids for a, b in pairs)
+
+
+def test_recommended_planes_grows_with_n():
+    from fluent_plugin_record_reformer_spark.operators.similarity import (
+        recommended_planes,
+    )
+
+    assert recommended_planes(1_000) >= 4
+    assert recommended_planes(1_000_000, target_bucket=64) == 14
+    # 100 TB scale: ~10^12 vectors -> bucket size stays ~target
+    p = recommended_planes(10**12, target_bucket=64)
+    assert 10**12 / 2**p <= 64
+    assert recommended_planes(10) == 4  # floor
