@@ -171,6 +171,20 @@ def q_renew_time_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "tag", F.col("ts").alias("shifted_ts"))
 
 
+def q_tag_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-driven tag rewrite (core.rb:80 with enable_ruby): the
+    OUTPUT TAG comes from a vectorized expression; rows where it
+    evaluates to null are DROPPED (core.rb:105, test :568-578)."""
+    spec = TransformSpec(
+        tag_python_expr=(
+            "('routed.' + tag_parts.str[-1]).mask(tag_parts.str[-1] == 'none')"
+        ),
+        remove_keys=["text"],
+    )
+    out = reform(_tagged(spark, sf_dir), spec, ReformContext(hostname=HOSTNAME))
+    return out.select("conv_id", "turn_idx", "tag")
+
+
 ROUTES = RouteTable(
     [
         Route("user_turns", "transcripts.user.**"),
@@ -609,6 +623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reform_flagship": q_reform_flagship,
     "reform_renew": q_reform_renew,
     "renew_time_key": q_renew_time_key,
+    "tag_expr": q_tag_expr,
     "route_fanout": q_route_fanout,
     "per_sink_counts": q_per_sink_counts,
     "salted_agg": q_salted_agg,
@@ -963,6 +978,11 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            count(gap_s) AS n_gaps,
            sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant
     FROM gaps GROUP BY conv_id
+    """,
+    "tag_expr": TRANSCRIPTS_CTE
+    + """
+    SELECT conv_id, turn_idx, 'routed.' || tool AS tag
+    FROM tagged WHERE tool IS NOT NULL
     """,
     "top_convs": TRANSCRIPTS_CTE
     + """

@@ -53,9 +53,23 @@ def reform(
     columns = df.columns
     record_cols = [c for c in columns if c not in (ctx.tag_col, ctx.time_col)]
 
-    new_tag = template_column(
-        spec.tag, ctx, columns, auto_typecast=spec.auto_typecast
-    ).cast("string")
+    if spec.tag_python_expr:
+        # Expression-driven tag rewrite (core.rb:80 runs the tag
+        # template through the ruby expander when enable_ruby): a
+        # failing or null expression yields a null tag — the event is
+        # DROPPED by the nil-tag filter below (core.rb:105, test
+        # :568-578), never emitted with a broken tag.
+        new_tag = python_expr_column(
+            df,
+            spec.tag_python_expr,
+            tag_col=ctx.tag_col,
+            time_col=ctx.time_col,
+            hostname=ctx.hostname or "",
+        ).cast("string")
+    else:
+        new_tag = template_column(
+            spec.tag, ctx, columns, auto_typecast=spec.auto_typecast
+        ).cast("string")
 
     # -- output record (core.rb:136-138) ------------------------------
     out: dict[str, Column] = {}

@@ -28,6 +28,7 @@ BUILTIN_CONFIGURATIONS = frozenset(
         "enable_ruby",
         "renew_time_key",
         "auto_typecast",
+        "tag_python_expr",
     }
 )
 
@@ -67,9 +68,14 @@ class TransformSpec:
       expressions (the reference's ruby sandbox, ``core.rb:252-343``,
       re-expressed as Arrow-batched pandas exprs; see
       functions/python_expr.py)
+    - ``tag_python_expr``: expression-driven tag rewrite — with
+      ``enable_ruby`` the reference runs the TAG template through the
+      ruby expander too (``core.rb:80``); a failing/null expression
+      drops the event (``core.rb:105``, test :568-578). Exactly one of
+      ``tag`` / ``tag_python_expr`` must be given.
     """
 
-    tag: str
+    tag: Optional[str] = None
     record: dict[str, Any] = field(default_factory=dict)
     remove_keys: list[str] = field(default_factory=list)
     keep_keys: list[str] = field(default_factory=list)
@@ -77,10 +83,13 @@ class TransformSpec:
     renew_time_key: Optional[str] = None
     auto_typecast: bool = False
     python_exprs: dict[str, str] = field(default_factory=dict)
+    tag_python_expr: Optional[str] = None
 
     def __post_init__(self) -> None:
-        if not self.tag:
+        if not self.tag and not self.tag_python_expr:
             raise SpecError("`tag` must be specified")  # core.rb:61-63
+        if self.tag and self.tag_python_expr:
+            raise SpecError("give either `tag` or `tag_python_expr`, not both")
         if self.keep_keys and not self.renew_record:
             raise SpecError(
                 "`renew_record` must be true to use `keep_keys`"
@@ -100,7 +109,7 @@ class TransformSpec:
         record.update(conf.get("record", {}) or {})
 
         tag = conf.get("tag") or conf.get("output_tag")
-        if tag is None:
+        if tag is None and not conf.get("tag_python_expr"):
             raise SpecError("`tag` must be specified")
 
         def _split(v: Any) -> list[str]:
@@ -119,4 +128,5 @@ class TransformSpec:
             renew_time_key=conf.get("renew_time_key"),
             auto_typecast=bool(conf.get("auto_typecast", False)),
             python_exprs=dict(conf.get("python_exprs", {}) or {}),
+            tag_python_expr=conf.get("tag_python_expr"),
         )

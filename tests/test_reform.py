@@ -231,3 +231,35 @@ def test_transcript_pipeline_golden(spark):
     assert got == want
     assert got[0]["tag"].startswith("reformed.transcripts.")
     assert got[0]["message"].endswith(", yay!")
+
+
+def test_tag_expr_failure_drops_event(spark):
+    # reference test :568-578: a tag template whose (ruby) expansion
+    # fails drops the event entirely — never emitted with a bad tag
+    df = simple_df(spark)
+    spec = TransformSpec(tag_python_expr="unknown_column + 1")
+    out = reform(df, spec, ReformContext(hostname=HOST))
+    assert out.count() == 0
+
+
+def test_tag_expr_conditional_rewrite(spark):
+    # tag from an expression over tag_parts (the enable_ruby tag path,
+    # core.rb:80): last part routes, 'tag' alternatives verified
+    df = spark.createDataFrame(
+        [
+            Row(tag="test.a", ts=TS, message="m1"),
+            Row(tag="test.b", ts=TS, message="m2"),
+        ]
+    )
+    spec = TransformSpec(
+        tag_python_expr="('kept.' + tag_parts.str[-1]).mask(tag_parts.str[-1] == 'b')"
+    )
+    rows = reform(df, spec, ReformContext(hostname=HOST)).collect()
+    assert [(r["tag"], r["message"]) for r in rows] == [("kept.a", "m1")]
+
+
+def test_tag_requires_exactly_one_source():
+    with pytest.raises(SpecError):
+        TransformSpec()
+    with pytest.raises(SpecError):
+        TransformSpec(tag="t", tag_python_expr="tag")
