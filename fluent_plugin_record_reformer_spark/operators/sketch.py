@@ -11,12 +11,11 @@ smallest DISTINCT hashes per group, and estimate
 where h_(k) is the k-th minimum. Standard KMV estimator (Bar-Yossef et
 al.); relative error ~ 1/sqrt(k-2).
 
-Scale shape: the per-group state is k int64s. This implementation uses
-``sort_array(collect_set(h))[1:k]`` — fine while groups' distinct
-hashes fit an executor (they do for dashboard-cardinality groups); for
-truly unbounded groups swap in a two-phase variant that keeps only the
-per-partition k-mins before the final merge (same estimator, partial
-state bounded at k per partition — the classic sketch-merge shape).
+Scale shape: TWO-PHASE merge (see :func:`kmv_distinct`) — per-bucket
+k-mins first, then a bounded merge of <= k * merge_buckets int64s per
+group, so no aggregation state ever holds a whole group's distinct
+hashes. The merge is lossless: the final k-mins (and therefore the
+estimate) are identical to a single-phase sketch.
 
 Determinism: both the hash and the k-min selection are exact integer
 ops; the final estimate divides in IEEE doubles identically on Spark
@@ -46,11 +45,24 @@ def kmv_distinct(
     *,
     k: int = 64,
     out_col: str = "approx_distinct",
+    merge_buckets: int = 64,
 ) -> DataFrame:
     """Per-group approximate distinct count of ``value_col``.
 
     Exact when the group has fewer than k distinct values (the sketch
     degenerates to plain counting), the KMV estimate otherwise.
+
+    TWO-PHASE (the classic sketch-merge shape): phase 1 keeps the k
+    smallest distinct hashes per (group, salt) bucket — the salt is
+    ``hash mod merge_buckets``, a pure function of the value — and
+    phase 2 merges the per-bucket k-min lists and re-takes the k
+    smallest. Because every global k-min is necessarily a k-min of its
+    own bucket, the merged result is IDENTICAL to the single-phase
+    sketch (the DuckDB oracle stays single-phase and still matches
+    bit-for-bit), but no single aggregation state ever holds a whole
+    group's distinct hashes: phase-1 state is bounded per bucket and
+    phase-2 state is <= k * merge_buckets int64s per group — the shape
+    that survives a 10^10-cardinality group at 100 TB.
     """
     # NULL values carry no identity: drop them on BOTH engines (Spark's
     # collect_set drops nulls implicitly, DuckDB's list(DISTINCT) keeps
@@ -58,8 +70,13 @@ def kmv_distinct(
     hashed = df.select(*group_cols, kmv_hash(value_col).alias("_h")).filter(
         F.col("_h").isNotNull()
     )
-    mins = hashed.groupBy(*group_cols).agg(
-        F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_kmin")
+    part = hashed.groupBy(
+        *group_cols, F.pmod(F.col("_h"), F.lit(merge_buckets)).alias("_salt")
+    ).agg(F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_kp"))
+    # buckets partition the hash space, so the flattened lists are
+    # already distinct — merge is sort + take-k
+    mins = part.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_kp"))), 1, k).alias("_kmin")
     )
     n = F.size("_kmin")
     kth = F.element_at("_kmin", k)

@@ -72,3 +72,29 @@ def test_kmv_null_values_ignored(spark):
         con.execute(kmv_oracle_sql("v", ["g"], "tbl", k=64)).fetchall()
     )
     assert got == want
+
+
+def test_kmv_two_phase_merge_lossless(spark):
+    """The two-phase merge must produce the SAME k-mins as a
+    single-phase sketch on a high-cardinality group (every global
+    k-min is a k-min of its own salt bucket)."""
+    from fluent_plugin_record_reformer_spark.operators.sketch import (
+        HASH_SPACE,
+        kmv_distinct,
+        kmv_hash,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    # merge_buckets=1 degenerates to the single-phase sketch
+    single = {r["g"]: r["approx_distinct"] for r in
+              kmv_distinct(df, "v", ["g"], k=64, merge_buckets=1).collect()}
+    for buckets in (2, 16, 64, 1024):
+        two = {r["g"]: r["approx_distinct"] for r in
+               kmv_distinct(df, "v", ["g"], k=64, merge_buckets=buckets).collect()}
+        assert two == single, f"merge_buckets={buckets}"
+    # and the estimate is in the expected error band (~1/sqrt(k-2))
+    for got in single.values():
+        assert abs(got - 10000) / 10000 < 0.5
