@@ -44,20 +44,59 @@ GROK_PATTERNS: dict[str, str] = {
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
 
-def grok_to_regex(grok: str) -> tuple[str, list[str]]:
+def grok_to_regex(
+    grok: str, pattern_definitions: Optional[dict[str, str]] = None
+) -> tuple[str, list[str]]:
     """Compile a ``%{PATTERN:field}`` grok expression to (regex,
-    field-names). Unnamed refs inline without capturing."""
+    field-names). Unnamed refs inline without capturing.
+
+    ``pattern_definitions`` adds/overrides patterns for this call (the
+    standard grok-config escape hatch); definitions may themselves
+    reference other patterns (``%{...}``), resolved recursively with a
+    cycle guard. An unknown pattern raises with close-match candidates.
+    """
+    patterns = dict(GROK_PATTERNS)
+    if pattern_definitions:
+        patterns.update(pattern_definitions)
     fields: list[str] = []
+
+    def resolve(pat: str, seen: tuple[str, ...]) -> str:
+        if pat in seen:
+            chain = " -> ".join(seen + (pat,))
+            raise ValueError(f"grok pattern cycle: {chain}")
+        body = patterns[pat]
+
+        def _inner(m: re.Match) -> str:
+            inner, name = m.group(1), m.group(2)
+            _check(inner)
+            if name:
+                # register BEFORE resolving: the outer group's paren
+                # precedes any nested groups, so field order must too
+                fields.append(name)
+                return f"({resolve(inner, seen + (pat,))})"
+            return f"(?:{resolve(inner, seen + (pat,))})"
+
+        return _GROK_REF.sub(_inner, body)
+
+    def _check(pat: str) -> None:
+        if pat not in patterns:
+            import difflib
+
+            close = difflib.get_close_matches(pat, patterns, n=3)
+            hint = f" (did you mean {', '.join(close)}?)" if close else ""
+            raise ValueError(
+                f"unknown grok pattern %{{{pat}}}{hint}; pass it via "
+                f"pattern_definitions or use one of: "
+                f"{', '.join(sorted(patterns))}"
+            )
 
     def _sub(m: re.Match) -> str:
         pat, name = m.group(1), m.group(2)
-        if pat not in GROK_PATTERNS:
-            raise ValueError(f"unknown grok pattern %{{{pat}}}")
-        body = GROK_PATTERNS[pat]
+        _check(pat)
         if name:
-            fields.append(name)
-            return f"({body})"
-        return f"(?:{body})"
+            fields.append(name)  # before resolve: outer group first
+            return f"({resolve(pat, ())})"
+        return f"(?:{resolve(pat, ())})"
 
     return _GROK_REF.sub(_sub, grok), fields
 
@@ -100,9 +139,10 @@ def grok_parse(
     source_col: str = "text",
     types: Optional[dict[str, str]] = None,
     drop_source: bool = False,
+    pattern_definitions: Optional[dict[str, str]] = None,
 ) -> DataFrame:
     """Grok-syntax front end over :func:`regex_parse`."""
-    pattern, fields = grok_to_regex(grok)
+    pattern, fields = grok_to_regex(grok, pattern_definitions)
     return regex_parse(
         df, pattern, source_col=source_col, fields=fields, types=types, drop_source=drop_source
     )

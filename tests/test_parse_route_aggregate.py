@@ -172,3 +172,49 @@ def test_salted_agg_equals_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_grok_pattern_definitions():
+    import re as _re
+
+    import pytest as _pytest
+
+    # custom pattern, also overriding a builtin
+    rx, fields = grok_to_regex(
+        "ev=%{EVT:e} id=%{INT:i}",
+        pattern_definitions={"EVT": "purchase|signup", "INT": r"\d{4}"},
+    )
+    assert fields == ["e", "i"]
+    m = _re.match(rx, "ev=signup id=1234")
+    assert m and m.group(1) == "signup" and m.group(2) == "1234"
+    assert not _re.match(rx, "ev=signup id=12")  # override took effect
+
+    # definitions referencing other patterns, nested NAMED capture order
+    rx, fields = grok_to_regex(
+        "%{LINE:line}",
+        pattern_definitions={"LINE": r"lvl=%{LOGLEVEL:lvl} msg=%{GREEDYDATA:msg}"},
+    )
+    assert fields == ["line", "lvl", "msg"]
+    m = _re.match(rx, "lvl=ERROR msg=boom")
+    assert m.group(1) == "lvl=ERROR msg=boom"
+    assert m.group(2) == "ERROR" and m.group(3) == "boom"
+
+    # unknown pattern: error names candidates
+    with _pytest.raises(ValueError, match="did you mean.*NUMBER"):
+        grok_to_regex("%{NUMBRE:n}")
+    # cycles raise instead of recursing forever
+    with _pytest.raises(ValueError, match="cycle"):
+        grok_to_regex("%{A:a}", pattern_definitions={"A": "%{B}", "B": "%{A}"})
+
+
+def test_grok_parse_with_definitions(spark):
+    df = spark.createDataFrame([("code=X17 n=42",), ("garbage",)], "text string")
+    out = grok_parse(
+        df,
+        "code=%{CODE:code} n=%{INT:n}",
+        types={"n": "int"},
+        pattern_definitions={"CODE": "X\\d+"},
+    ).collect()
+    got = {r["text"]: (r["code"], r["n"]) for r in out}
+    assert got["code=X17 n=42"] == ("X17", 42)
+    assert got["garbage"] == (None, None)
