@@ -54,6 +54,7 @@ from fluent_plugin_record_reformer_spark.operators.similarity import (
     embedding_near_dup,
     ivf_topk,
     signbit_ann_topk,
+    train_kmeans_centroids,
 )
 from fluent_plugin_record_reformer_spark.sources.tables import load_table
 from fluent_plugin_record_reformer_spark.sources.transcripts import (
@@ -601,12 +602,12 @@ def q_top_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN top-5: 16 fixed centroids (vec_id<16), inverted
-    lists by nearest centroid, queries probe 2 lists, exact re-rank."""
+    """IVF-Flat ANN top-5 with TRAINED centroids: deterministic Lloyd
+    k-means (k=16, 2 iterations, exact-integer coordinate means —
+    replayed CTE-for-CTE by the oracle), inverted lists by nearest
+    centroid, queries probe 2 lists, exact re-rank."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
-    )
+    centroids = train_kmeans_centroids(emb, k=16, iters=2, dim=64)
     return ivf_topk(emb, centroids, _knn_queries(spark, sf_dir), k=5, nprobe=2)
 
 
@@ -927,9 +928,9 @@ WHERE a.bucket IN (SELECT bucket FROM ok)
   AND round({om.sql_cosine("a.embedding", "b.embedding", 64)}, 4) >= 0.2
 """,
     "knn_ivf": f"""
-WITH c AS (
-  SELECT vec_id AS centroid_id, embedding AS centroid_vec
-  FROM embeddings WHERE vec_id < 16
+WITH {om.sql_kmeans_ctes(k=16, iters=2, dim=64)[0]}
+, c AS (
+  SELECT centroid_id, centroid_vec FROM {om.sql_kmeans_ctes(k=16, iters=2, dim=64)[1]}
 ), va AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
          row_number() OVER (PARTITION BY e.vec_id

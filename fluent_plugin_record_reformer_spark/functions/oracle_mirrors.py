@@ -126,6 +126,50 @@ def sql_cosine(a_expr: str, b_expr: str, dim: int) -> str:
     )
 
 
+def sql_kmeans_ctes(
+    *,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = 1 << 20,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[str, str]:
+    """Mirror of similarity.train_kmeans_centroids: the Lloyd
+    iterations unrolled as CTEs. Returns (cte_sql_without_WITH,
+    final_centroid_cte_name). Bit-identical to the Spark trainer: same
+    init slice, same cosine-argmax assignment with centroid-id
+    tiebreak, same floor(x*2^20) int64 sums, same single int/int
+    double division per coordinate."""
+    parts = [
+        f"c0 AS (SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec "
+        f"FROM {table} WHERE {id_col} < {k})"
+    ]
+    for t in range(iters):
+        cos = sql_cosine(f"e.{vec_col}", "c.centroid_vec", dim)
+        parts.append(
+            f"""a{t} AS (
+  SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+         row_number() OVER (PARTITION BY e.{id_col}
+             ORDER BY {cos} DESC, c.centroid_id ASC) AS rnk
+  FROM {table} e CROSS JOIN c{t} c)"""
+        )
+        parts.append(
+            f"""m{t} AS (
+  SELECT a.centroid_id, d.range AS d,
+         CAST(sum(CAST(floor(a.{vec_col}[d.range] * {quant}.0) AS BIGINT)) AS DOUBLE)
+           / (count(*) * {quant}) AS v
+  FROM (SELECT * FROM a{t} WHERE rnk = 1) a, range(1, {dim + 1}) d
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT centroid_id, list(v ORDER BY d) AS centroid_vec "
+            f"FROM m{t} GROUP BY centroid_id)"
+        )
+    return ",\n".join(parts), f"c{iters}"
+
+
 def sql_signbit_bucket(vec_expr: str, planes: int) -> str:
     bits = " || ".join(
         f"(CASE WHEN {vec_expr}[{d + 1}] >= 0 THEN '1' ELSE '0' END)"

@@ -118,6 +118,66 @@ def ivf_assign(
     )
 
 
+KMEANS_QUANT = 1 << 20  # power of two: x * 2^20 is EXACT for float32 x
+
+
+def train_kmeans_centroids(
+    vectors: DataFrame,
+    *,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over pure DataFrame ops — the real
+    IVF coarse quantizer (vs a fixed id-slice of vectors).
+
+    Cross-engine determinism (the oracle replays the SAME iterations
+    in SQL and must land on bit-identical centroids):
+
+    - init: the k vectors with the smallest ids (deterministic seed);
+    - assign: cosine argmax, ties broken by centroid id — the cosine
+      is a fixed-order double fold, identical in both engines;
+    - update: each coordinate is quantized ``floor(x * 2^20)`` (exact
+      for float32 — power-of-two scaling), summed as int64
+      (order-independent, no float-sum ordering hazard), and the mean
+      is ONE ``int64/int64`` double division — IEEE-identical
+      everywhere. |sum| stays < 2^53 for groups up to ~2^32 members.
+
+    A centroid that loses all members drops out (mirrored in SQL).
+    ``iters`` is small and fixed; each iteration extends the lineage,
+    so on a real cluster checkpoint between iterations.
+    """
+    cents = vectors.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            vectors, cents, vec_col=vec_col, id_col=id_col, nprobe=1
+        )
+        ex = assigned.select(
+            "centroid_id", F.posexplode(vec_col).alias("_pos", "_x")
+        ).select(
+            "centroid_id",
+            (F.col("_pos") + 1).alias("_d"),  # 1-based, matches SQL list index
+            F.floor(F.col("_x").cast("double") * KMEANS_QUANT).cast("long").alias("_q"),
+        )
+        dims = ex.groupBy("centroid_id", "_d").agg(
+            (
+                F.sum("_q").cast("double")
+                / (F.count(F.lit(1)) * F.lit(KMEANS_QUANT))
+            ).alias("_v")
+        )
+        cents = dims.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_d"), F.col("_v")))),
+                lambda s: s.getField("_v"),
+            ).alias("centroid_vec")
+        )
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     centroids: DataFrame,

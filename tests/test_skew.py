@@ -121,3 +121,38 @@ def test_recommended_planes_grows_with_n():
     p = recommended_planes(10**12, target_bucket=64)
     assert 10**12 / 2**p <= 64
     assert recommended_planes(10) == 4  # floor
+
+
+def test_trained_ivf_recall_at_least_fixed_slice(spark):
+    """Trained centroids must not lose recall vs the fixed id-slice
+    quantizer, measured against brute-force ground truth."""
+    import pyspark.sql.functions as F
+
+    from fluent_plugin_record_reformer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_kmeans_centroids,
+    )
+    from fluent_plugin_record_reformer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    # queries must be DISJOINT from the id-slice seed: a query that IS
+    # a fixed centroid probes its own perfectly-tailored list, which
+    # makes the untrained quantizer look spuriously good
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def topk_set(df):
+        return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+    truth = topk_set(cosine_topk(emb, queries, k=5))
+    fixed = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    trained = train_kmeans_centroids(emb, k=16, iters=2, dim=64)
+    recall_fixed = len(topk_set(ivf_topk(emb, fixed, queries, k=5, nprobe=2)) & truth)
+    recall_trained = len(topk_set(ivf_topk(emb, trained, queries, k=5, nprobe=2)) & truth)
+    assert recall_trained >= recall_fixed, (recall_trained, recall_fixed)
+    assert recall_trained > 0
