@@ -190,3 +190,58 @@ def write_fanout(
 def read_sink(spark, base_path: str, name: str) -> DataFrame:
     """Read one sink back (partition-pruned scan of route=<name>)."""
     return spark.read.parquet(base_path).filter(F.col("route") == name)
+
+
+def write_fanout_catalog(
+    df: DataFrame,
+    table: RouteTable,
+    catalog,
+    sink_name: str,
+    tag_col: str = "tag",
+    extra_partition_cols: Sequence[str] = (),
+    drop_unmatched: bool = True,
+    mode: str = "append",
+) -> None:
+    """Single-pass fan-out through the catalog seam
+    (sources/catalog.py): ONE sink table, the route column as its
+    (hidden) partition. On Iceberg this is one transactional append
+    snapshot covering every route; on the parquet fallback it is the
+    same partitionBy layout as :func:`write_fanout`. The preferred
+    shape at 100 TB — one scan, one write."""
+    routed = table.assign(df, tag_col)
+    if drop_unmatched:
+        routed = routed.filter(F.col("route") != UNMATCHED)
+    catalog.write(
+        routed, sink_name, mode=mode, partition_by=("route", *extra_partition_cols)
+    )
+
+
+def write_fanout_tables(
+    df: DataFrame,
+    table: RouteTable,
+    catalog,
+    tag_col: str = "tag",
+    mode: str = "append",
+    table_for_route=None,
+) -> dict[str, str]:
+    """Per-route SINK TABLES — the "multiple Iceberg sinks" shape: one
+    transactional append per route. Requires one pass per route over
+    the routed frame, so it persists the (already filtered+projected)
+    routed rows first; prefer :func:`write_fanout_catalog` when all
+    sinks can share a table with a route partition. Returns
+    {route -> table name}."""
+    table_for_route = table_for_route or (lambda r: f"sink_{r}")
+    routed = table.assign(df, tag_col).filter(F.col("route") != UNMATCHED).persist()
+    written: dict[str, str] = {}
+    try:
+        for r in table.routes:
+            name = table_for_route(r.name)
+            catalog.write(
+                routed.filter(F.col("route") == r.name).drop("route"),
+                name,
+                mode=mode,
+            )
+            written[r.name] = name
+    finally:
+        routed.unpersist()
+    return written
