@@ -37,6 +37,39 @@ def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None)
     small/skewed-split inputs, costing one narrow shuffle of the raw
     rows."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_splits(df)
+    if est is None:
+        # derived frame / remote files: fall back to real partition
+        # count (forces plan->RDD conversion — acceptable off the
+        # repeatedly-called scan path)
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Split-count estimate from the scan's input files — pure driver
+    metadata, no plan->RDD conversion. None when the frame has no
+    file inputs or sizes aren't locally stattable."""
+    import math
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    max_bytes = int(digits) if digits else 134217728
+    est = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        if "://" in path:
+            return None  # remote FS: don't guess
+        try:
+            est += max(1, math.ceil(os.path.getsize(path) / max_bytes))
+        except OSError:
+            return None
+    return est
