@@ -30,6 +30,9 @@ from fluent_plugin_record_reformer_spark.functions.text import (
     shingles,
     word_tokens,
 )
+from fluent_plugin_record_reformer_spark.operators.aggregate import (
+    exact_quantiles_oracle_sql as agg_exact_quantiles_oracle_sql,
+)
 from fluent_plugin_record_reformer_spark.operators.aggregate import salted_agg
 from fluent_plugin_record_reformer_spark.operators.dedup import (
     doc_fingerprints,
@@ -589,6 +592,40 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-role latency quantiles (p50/p90/p99 of the turn gap)
+    as distributed k-th order statistics — engine-portable, unlike
+    percentile_approx sketches."""
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        exact_quantiles,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = t.select(
+        "role",
+        (F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)).alias(
+            "gap_s"
+        ),
+    )
+    return exact_quantiles(gaps, "gap_s", ["role"], qs=(0.5, 0.9, 0.99))
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified LSH
+    pairs (jaccard >= 0.5); cluster id = component min doc id (the
+    keeper). Iterative min-label propagation to fixed point — the
+    oracle reaches the same fixed point via a recursive CTE."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_dup(
+        docs, num_hashes=MINHASH_K, bands=LSH_BANDS, shingle_n=SHINGLE_N,
+        threshold=0.5,
+    )
+    return dup_clusters(pairs)
+
+
 def q_top_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit: top-10 busiest conversations (deterministic tiebreak
     on conv_id). TakeOrderedAndProject — no global sort at scale."""
@@ -646,6 +683,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_near_dup": q_embed_near_dup,
     "knn_ivf": q_knn_ivf,
     "conv_stats": q_conv_stats,
+    "gap_quantiles": q_gap_quantiles,
+    "dup_clusters": q_dup_clusters,
     "top_convs": q_top_convs,
     "kmv_distinct": q_kmv_distinct,
     "deterministic_sample": q_deterministic_sample,
@@ -980,6 +1019,45 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant
     FROM gaps GROUP BY conv_id
     """,
+    "gap_quantiles": TRANSCRIPTS_CTE
+    + """
+    , gapq AS (
+      SELECT role,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+      FROM transcripts
+    )
+    """
+    + agg_exact_quantiles_oracle_sql(
+        "gap_s", ["role"], "gapq", qs=(0.5, 0.9, 0.99), cte=True
+    ),
+    "dup_clusters": "WITH RECURSIVE "
+    + _docs_dedup_ctes().split("WITH", 1)[1]
+    + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band_idx, bucket)
+  WHERE a.doc_id < b.doc_id
+), jp AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  WHERE round(len(list_intersect(sa.sset, sb.sset))::DOUBLE /
+        (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))),
+        4) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION ALL SELECT id_b AS a, id_a AS b FROM jp
+), verts AS (SELECT DISTINCT a AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v
+)
+SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+""",
     "tag_expr": TRANSCRIPTS_CTE
     + """
     SELECT conv_id, turn_idx, 'routed.' || tool AS tag

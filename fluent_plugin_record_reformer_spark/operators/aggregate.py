@@ -48,6 +48,87 @@ def per_sink_counts(
     )
 
 
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    *,
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Exact per-group quantiles as k-th order statistics, fully
+    distributed and ENGINE-PORTABLE (unlike ``percentile_approx``,
+    whose sketch layout is engine-specific and can never pass a
+    cross-engine value-hash gate).
+
+    Quantile rule: value at rank ``ceil(q * n)`` (1-based) of the
+    group's sorted values — ties in the sort order cannot change the
+    selected VALUE, so no tiebreak column is needed. One shuffle
+    (window partition by group), ranks picked in the same pass, final
+    agg reuses the partitioning. The sort is the honest cost of EXACT
+    quantiles; at 100 TB use this per bounded group (roles, sinks,
+    hours), not per raw unbounded key.
+
+    NULL values are excluded (they carry no order), mirroring SQL
+    aggregate semantics on both engines.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(F.col(value_col).isNotNull())
+    w_order = Window.partitionBy(*group_cols).orderBy(value_col)
+    w_all = Window.partitionBy(*group_cols)
+    counted = vals.select(
+        *group_cols,
+        F.col(value_col),
+        F.row_number().over(w_order).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    rank_of = {q: F.ceil(F.lit(q) * F.col("_n")).cast("long") for q in qs}
+    picked = counted.filter(
+        F.array_contains(F.array(*rank_of.values()), F.col("_rn"))
+    )
+    aggs = [
+        F.max(F.when(F.col("_rn") == rank_of[q], F.col(value_col))).alias(
+            f"{out_prefix}{int(round(q * 100))}"
+        )
+        for q in qs
+    ]
+    return picked.groupBy(*group_cols).agg(*aggs)
+
+
+def exact_quantiles_oracle_sql(
+    value_expr: str,
+    group_cols: Sequence[str],
+    from_clause: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    *,
+    out_prefix: str = "p",
+    cte: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`exact_quantiles` (same rank rule).
+    ``cte=True`` omits the leading WITH (for appending to an existing
+    WITH chain)."""
+    groups = ", ".join(group_cols)
+    sel = f"{groups}, " if groups else ""
+    by = f"GROUP BY {groups}" if groups else ""
+    picks = ", ".join(
+        f"max(CASE WHEN _rn = CAST(ceil({q} * _n) AS BIGINT) THEN _v END) "
+        f"AS {out_prefix}{int(round(q * 100))}"
+        for q in qs
+    )
+    part = f"PARTITION BY {groups}" if groups else ""
+    lead = ", " if cte else "WITH "
+    return f"""
+{lead}ranked AS (
+  SELECT {sel}{value_expr} AS _v,
+         row_number() OVER ({part} ORDER BY {value_expr}) AS _rn,
+         count(*) OVER ({part}) AS _n
+  FROM {from_clause} WHERE {value_expr} IS NOT NULL
+)
+SELECT {sel}{picks} FROM ranked {by}
+"""
+
+
 # aggregation → (phase-1 partial expr, phase-2 merge expr builder)
 _REAGG = {
     "count": (lambda c: F.count(F.lit(1)), lambda p: F.sum(p)),

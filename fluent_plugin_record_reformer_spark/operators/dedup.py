@@ -285,6 +285,60 @@ def jaccard_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = the component's minimum doc id (the keeper).
+
+    Min-label propagation iterated to FIXED POINT: every vertex's
+    label becomes min(own, neighbours') until nothing changes. The
+    fixed point is schedule-independent, so the oracle's recursive-CTE
+    transitive closure lands on identical labels even though it
+    iterates differently. Each Spark iteration is one join + groupBy
+    (all partial-aggregated); the driver loop runs one tiny count
+    action per iteration and stops at convergence — iterations needed
+    = graph diameter in label steps (<= longest chain of near-dup
+    docs, tiny in practice). ``max_iters`` guards pathological chains.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
+    ).union(pairs.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")))
+    labels = (
+        edges.select(F.col("_src").alias("_v")).distinct().withColumn("_lbl", F.col("_v"))
+    ).persist()
+    labels.count()  # materialize before the loop
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["_src"] == labels["_v"])
+            .groupBy(F.col("_dst").alias("_v2"))
+            .agg(F.min("_lbl").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["_v"] == F.col("_v2"), "left")
+            .select(
+                F.col("_v"),
+                F.least(F.col("_lbl"), F.coalesce(F.col("_nbr_min"), F.col("_lbl"))).alias("_lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._v") == F.col("o._v"))
+            .filter(F.col("n._lbl") != F.col("o._lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_v").alias("doc_id"), F.col("_lbl").alias("cluster_id"))
+
+
 def simhash_by_id(
     df: DataFrame,
     *,

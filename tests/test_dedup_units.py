@@ -98,3 +98,40 @@ def test_kmv_two_phase_merge_lossless(spark):
     # and the estimate is in the expected error band (~1/sqrt(k-2))
     for got in single.values():
         assert abs(got - 10000) / 10000 < 0.5
+
+
+def test_dup_clusters_chain_and_islands(spark):
+    """A chain a-b-c-d must collapse to one component (propagation
+    runs to fixed point, not a fixed iteration count), islands keep
+    their own label."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5), (5, 6)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_exact_quantiles_matches_sorted_reference(spark):
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        exact_quantiles,
+    )
+    import math
+
+    vals = [(("g1"), v) for v in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+    vals += [("g2", v) for v in [100, 300, 200]]
+    vals += [("g2", None)]
+    df = spark.createDataFrame(vals, "g string, x int")
+    got = {r["g"]: (r["p50"], r["p90"], r["p99"]) for r in
+           exact_quantiles(df, "x", ["g"], qs=(0.5, 0.9, 0.99)).collect()}
+
+    def ref(xs):
+        xs = sorted(xs)
+        pick = lambda q: xs[math.ceil(q * len(xs)) - 1]
+        return (pick(0.5), pick(0.9), pick(0.99))
+
+    assert got["g1"] == ref(range(1, 11))
+    assert got["g2"] == ref([100, 200, 300])  # nulls excluded
