@@ -152,6 +152,7 @@ def train_kmeans_centroids(
     cents = vectors.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
     )
+    prev = None
     for _ in range(iters):
         assigned = ivf_assign(
             vectors, cents, vec_col=vec_col, id_col=id_col, nprobe=1
@@ -174,7 +175,15 @@ def train_kmeans_centroids(
                 F.array_sort(F.collect_list(F.struct(F.col("_d"), F.col("_v")))),
                 lambda s: s.getField("_v"),
             ).alias("centroid_vec")
-        )
+        ).persist()
+        # materialize: k rows. Without this, iteration t's lineage
+        # re-executes every earlier iteration's full-table assignment
+        # (O(iters^2) scans), and every downstream reference to the
+        # trained centroids re-runs the whole training.
+        cents.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
     return cents
 
 
