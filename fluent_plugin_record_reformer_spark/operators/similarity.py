@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold of the elementwise product, in doubles."""
+    """Left-to-right fold of the elementwise product, in doubles.
+
+    Deliberately a HOF fold, NOT an unrolled element_at sum: unrolling
+    64-term cosines was A/B-measured SLOWER here (the duplicated
+    expression blows past janino's method-size limit in window/filter
+    contexts — codegen fails and the WHOLE stage falls back to
+    interpreted), while the 64-element fold per row is short."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
