@@ -68,11 +68,17 @@ def expand_braces(pattern: str) -> list[str]:
                     else:
                         cur += c
                 alts.append(cur)
-                return [
+                out = [
                     expanded
                     for a in alts
                     for expanded in expand_braces(head + a + tail)
                 ]
+                if len(out) > 4096:
+                    raise ValueError(
+                        f"tag glob {pattern!r} expands to {len(out)} "
+                        "alternatives — refusing (likely a config error)"
+                    )
+                return out
     if depth != 0:
         raise ValueError(f"unbalanced '{{' in tag glob {pattern!r}")
     return [pattern]
