@@ -34,6 +34,9 @@ from fluent_plugin_record_reformer_spark.operators.aggregate import (
     exact_quantiles_oracle_sql as agg_exact_quantiles_oracle_sql,
 )
 from fluent_plugin_record_reformer_spark.operators.aggregate import salted_agg
+from fluent_plugin_record_reformer_spark.operators.curation import (
+    pii_scrub_oracle_sql,
+)
 from fluent_plugin_record_reformer_spark.operators.dedup import (
     doc_fingerprints,
     lsh_near_dup,
@@ -592,6 +595,59 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents whose distinct
+    3-shingle hash overlap with the (broadcast) benchmark set is
+    >= 20%. Benchmark = every 97th doc (a deterministic stand-in for
+    an eval set)."""
+    from fluent_plugin_record_reformer_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, shingle_n=SHINGLE_N, threshold=0.2)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails / IPv4s / phone numbers replaced in
+    pattern order. The PII spans are synthesized deterministically so
+    both engines scrub identical inputs."""
+    from fluent_plugin_record_reformer_spark.operators.curation import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" mail u"), F.col("doc_id").cast("string"), F.lit("@ex.com"),
+        F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel +1 555-000-1234"),
+    )
+    return docs.select("doc_id", pii_scrub(dirty).alias("scrubbed"))
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep at most 30 docs per source, selected by
+    the deterministic doc_id order (rerun/repartition-stable)."""
+    from fluent_plugin_record_reformer_spark.operators.curation import domain_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_quota(docs, quota=30).select("doc_id", "source")
+
+
+def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: per source, keep docs in doc_id order while
+    the running whitespace-token total stays within 2000; report what
+    each source contributes to the mix."""
+    from fluent_plugin_record_reformer_spark.operators.curation import (
+        token_budget_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = token_budget_mix(docs, budget=2000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"),
+    )
+
+
 def q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-role latency quantiles (p50/p90/p99 of the turn gap)
     as distributed k-th order statistics — engine-portable, unlike
@@ -685,6 +741,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_stats": q_conv_stats,
     "gap_quantiles": q_gap_quantiles,
     "dup_clusters": q_dup_clusters,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "domain_quota": q_domain_quota,
+    "token_mix": q_token_mix,
     "top_convs": q_top_convs,
     "kmv_distinct": q_kmv_distinct,
     "deterministic_sample": q_deterministic_sample,
@@ -1019,6 +1079,58 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant
     FROM gaps GROUP BY conv_id
     """,
+    "decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, {om.sql_word_tokens("text")} AS t FROM documents
+), shing AS (
+  SELECT doc_id, {om.sql_shingles("t", SHINGLE_N)} AS s FROM toks
+), dh AS (
+  SELECT DISTINCT doc_id, unnest({om.sql_hash60_list("s")}) AS h FROM shing
+), bh AS (
+  SELECT DISTINCT h FROM dh WHERE doc_id % 97 = 0
+), agg AS (
+  SELECT d.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM dh d LEFT JOIN bh b ON d.h = b.h
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       (CAST(n_contaminated AS DOUBLE) / n_shingles) >= 0.2 AS contaminated
+FROM agg
+""",
+    "pii_scrub": f"""
+SELECT doc_id,
+       {pii_scrub_oracle_sql(
+           "text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.com'"
+           " || ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+           " || ' tel +1 555-000-1234'"
+       )} AS scrubbed
+FROM documents WHERE doc_id < 100
+""",
+    "domain_quota": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 30
+""",
+    "token_mix": r"""
+WITH counted AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+  FROM counted
+)
+SELECT source,
+       count(*) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+FROM cum WHERE c <= 2000 GROUP BY source
+""",
     "gap_quantiles": TRANSCRIPTS_CTE
     + """
     , gapq AS (

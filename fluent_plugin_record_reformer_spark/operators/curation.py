@@ -1,0 +1,135 @@
+"""Training-corpus curation operators: benchmark decontamination, PII
+scrubbing, per-domain quotas, token-budget mixing.
+
+These are the selection/cleaning passes a training-data pipeline runs
+between dedup and packing. All pure Column expressions / standard
+shuffles — each has an exact DuckDB oracle in ``__spark_entry__``.
+
+Scale shapes:
+- decontaminate: benchmark n-gram hash set is BROADCAST (benchmarks are
+  small — 10^5..10^7 shingles); docs stream through one exploded
+  hash-join, re-aggregated per doc. No doc-side shuffle besides the
+  per-doc count.
+- pii_scrub: pure regexp_replace chain in the scan projection.
+- domain_quota / token_budget_mix: one shuffle each (window over the
+  group), deterministic order key so reruns keep the SAME rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _exploded_shingle_hashes
+
+# Applied IN ORDER (emails contain dots that would otherwise partly
+# match the IP pattern). Patterns are deliberately in the common
+# subset of Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(col: Column | str, patterns: Sequence[tuple[str, str]] = PII_PATTERNS) -> Column:
+    """Redact PII-looking spans, in pattern order."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub_oracle_sql(expr: str, patterns: Sequence[tuple[str, str]] = PII_PATTERNS) -> str:
+    """DuckDB mirror (global replace needs the explicit 'g' option)."""
+    out = expr
+    for pat, repl in patterns:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark contamination check: fraction of a doc's DISTINCT
+    token-shingle hashes that appear in the benchmark set.
+
+    Returns (id, n_shingles, n_contaminated, contaminated). The flag
+    compares an exact int/int double division against the threshold —
+    bit-identical across engines. The benchmark hash set is broadcast;
+    the doc side is one explode + hash + join + per-doc count."""
+    doc_h = _exploded_shingle_hashes(
+        docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).dropDuplicates([id_col, "_h60"])
+    bench_h = (
+        _exploded_shingle_hashes(
+            benchmark, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+        )
+        .select(F.col("_h60").alias("_bh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_h.join(
+        F.broadcast(bench_h), doc_h["_h60"] == bench_h["_bh"], "left"
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+    )
+    ratio = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        (ratio >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def domain_quota(
+    df: DataFrame,
+    *,
+    domain_col: str = "source",
+    quota: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``quota`` rows per domain, chosen by a
+    DETERMINISTIC order key (not arbitrary task order) so reruns and
+    repartitions keep the same rows. One window shuffle."""
+    w = Window.partitionBy(domain_col).orderBy(order_col)
+    return (
+        df.withColumn("_qrn", F.row_number().over(w))
+        .filter(F.col("_qrn") <= quota)
+        .drop("_qrn")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    budget: int,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Data mixing: per group, keep docs (in deterministic order) while
+    the RUNNING token total stays within ``budget`` — the standard
+    per-source token-budget cut. A doc is kept iff the cumulative
+    count INCLUDING it is <= budget (so one oversized head doc is
+    dropped, not truncated)."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("_ntok", n_tokens)
+        .withColumn("_cum", F.sum("_ntok").over(w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+        .withColumnRenamed("_ntok", "n_tokens")
+    )

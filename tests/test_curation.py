@@ -1,0 +1,63 @@
+"""Curation operator edges: budget drop-not-truncate, quota
+determinism under repartition, scrub pattern order, contamination
+flag exactness."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from fluent_plugin_record_reformer_spark.operators.curation import (  # noqa: E402
+    decontaminate,
+    domain_quota,
+    pii_scrub,
+    token_budget_mix,
+)
+
+
+def test_token_budget_drops_not_truncates(spark):
+    rows = [("s1", 0, "a " * 10), ("s1", 1, "b " * 1000), ("s1", 2, "c " * 10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    kept = {r["doc_id"] for r in token_budget_mix(df, budget=50).collect()}
+    # doc 1 blows the running budget and is dropped whole; doc 2 cannot
+    # re-enter (running total includes the dropped doc's tokens? NO —
+    # the cumulative sum includes every doc in order, so once exceeded
+    # later docs stay out: the cut is a prefix)
+    assert kept == {0}
+
+
+def test_domain_quota_deterministic_under_repartition(spark):
+    rows = [(f"s{i % 3}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    a = {r["doc_id"] for r in domain_quota(df, quota=5).collect()}
+    b = {r["doc_id"] for r in domain_quota(df.repartition(13), quota=5).collect()}
+    assert a == b
+    assert a == {i for i in range(15)}  # smallest ids per source
+
+
+def test_pii_scrub_order_and_patterns(spark):
+    df = spark.createDataFrame(
+        [("reach a.b@x.co or 10.1.2.3 or +44 7700-900123 end",)], "t string"
+    )
+    got = df.select(pii_scrub("t").alias("s")).collect()[0]["s"]
+    assert got == "reach <EMAIL> or <IP> or <PHONE> end"
+
+
+def test_decontaminate_flags_exact_copy(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in
+           decontaminate(docs, bench, shingle_n=3, threshold=0.5).collect()}
+    assert got == {1: True, 2: False}
