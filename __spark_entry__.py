@@ -648,6 +648,22 @@ def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-source concat-then-split layout into
+    512-token training sequences; per-bin rollup shows the packing."""
+    from fluent_plugin_record_reformer_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, seq_len=512)
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("bin_offset").alias("first_offset"),
+    )
+
+
 def q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-role latency quantiles (p50/p90/p99 of the turn gap)
     as distributed k-th order statistics — engine-portable, unlike
@@ -745,6 +761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "domain_quota": q_domain_quota,
     "token_mix": q_token_mix,
+    "pack_sequences": q_pack_sequences,
     "top_convs": q_top_convs,
     "kmv_distinct": q_kmv_distinct,
     "deterministic_sample": q_deterministic_sample,
@@ -1130,6 +1147,24 @@ SELECT source,
        count(*) AS n_docs_kept,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
 FROM cum WHERE c <= 2000 GROUP BY source
+""",
+    "pack_sequences": r"""
+WITH counted AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), laid AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+           - n_tokens AS start_off
+  FROM counted
+)
+SELECT source,
+       CAST(floor(start_off / 512) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(start_off % 512) AS BIGINT) AS first_offset
+FROM laid GROUP BY source, bin_id
 """,
     "gap_quantiles": TRANSCRIPTS_CTE
     + """

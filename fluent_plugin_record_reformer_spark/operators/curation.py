@@ -111,6 +111,41 @@ def domain_quota(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    *,
+    seq_len: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-split sequence packing: documents are laid out
+    end-to-end in deterministic order within each group, and each doc
+    is assigned the training sequence (bin) its FIRST token lands in —
+    ``bin = floor(start_offset / seq_len)``.
+
+    This is the standard "pack documents into fixed-length pretraining
+    sequences" layout, computed with one window (running token sum)
+    per group — no driver loop, no greedy bin state. A doc spanning a
+    boundary belongs to the bin it starts in (the downstream tokenizer
+    splits it); ``start_offset % seq_len`` tells it where.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    with_off = (
+        df.withColumn("_ntok", n_tokens)
+        .withColumn("_start", F.sum("_ntok").over(w) - F.col("_ntok"))
+    )
+    return (
+        with_off.withColumn(
+            "bin_id", F.floor(F.col("_start") / seq_len).cast("long")
+        )
+        .withColumn("bin_offset", (F.col("_start") % seq_len).cast("long"))
+        .withColumnRenamed("_ntok", "n_tokens")
+        .drop("_start")
+    )
+
+
 def token_budget_mix(
     df: DataFrame,
     *,

@@ -61,3 +61,15 @@ def test_decontaminate_flags_exact_copy(spark):
     got = {r["doc_id"]: r["contaminated"] for r in
            decontaminate(docs, bench, shingle_n=3, threshold=0.5).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_pack_sequences_layout(spark):
+    from fluent_plugin_record_reformer_spark.operators.curation import pack_sequences
+
+    rows = [("s", 0, "w " * 300), ("s", 1, "w " * 300), ("s", 2, "w " * 100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in
+           pack_sequences(df, seq_len=512).collect()}
+    # doc0 starts at 0 (bin 0); doc1 starts at 300 (bin 0, offset 300,
+    # spans into bin 1); doc2 starts at 600 (bin 1, offset 88)
+    assert got == {0: (0, 0), 1: (0, 300), 2: (1, 88)}
