@@ -54,6 +54,7 @@ from fluent_plugin_record_reformer_spark.operators.sketch import (
     kmv_distinct,
     kmv_oracle_sql,
     sample_gate_sql,
+    weighted_gate_sql,
 )
 from fluent_plugin_record_reformer_spark.operators.similarity import (
     cosine_topk,
@@ -648,6 +649,27 @@ def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified + quality-weighted deterministic sampling: per-row
+    keep probability = per-source rate x length-derived quality proxy,
+    evaluated through the value-pure hash gate (rerun/repartition/
+    engine-invariant row selection)."""
+    from fluent_plugin_record_reformer_spark.operators.sketch import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "src0", F.lit(0.5))
+        .when(F.col("source") == "src1", F.lit(0.25))
+        .otherwise(F.lit(0.1))
+    )
+    quality = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
+    kept = weighted_sample(docs, "doc_id", rate * quality, seed=11)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_kept"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: per-source concat-then-split layout into
     512-token training sequences; per-bin rollup shows the packing."""
@@ -762,6 +784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quota": q_domain_quota,
     "token_mix": q_token_mix,
     "pack_sequences": q_pack_sequences,
+    "weighted_sample": q_weighted_sample,
     "top_convs": q_top_convs,
     "kmv_distinct": q_kmv_distinct,
     "deterministic_sample": q_deterministic_sample,
@@ -1147,6 +1170,19 @@ SELECT source,
        count(*) AS n_docs_kept,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
 FROM cum WHERE c <= 2000 GROUP BY source
+""",
+    "weighted_sample": f"""
+WITH weighted AS (
+  SELECT source, doc_id,
+         (CASE WHEN source = 'src0' THEN 0.5
+               WHEN source = 'src1' THEN 0.25 ELSE 0.1 END)
+           * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS w
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept
+FROM weighted
+WHERE {weighted_gate_sql("doc_id", "w", seed=11)}
+GROUP BY source
 """,
     "pack_sequences": r"""
 WITH counted AS (

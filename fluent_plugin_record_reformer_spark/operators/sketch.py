@@ -114,6 +114,39 @@ def deterministic_sample(
     return df.filter(h < int(fraction * HASH_SPACE))
 
 
+def weighted_sample(
+    df: DataFrame,
+    value_col: str,
+    weight: Column,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-row-probability deterministic sampling: keep a row iff
+    ``hash(seed|value) < weight * 2^60`` where ``weight`` is a
+    per-row Column in [0,1] (e.g. a quality score, a per-source rate
+    joined from a dim). Same determinism contract as
+    :func:`deterministic_sample` — the gate is a pure function of the
+    value, so reruns/repartitions/engines keep the SAME rows — but the
+    keep probability varies row by row: quality-weighted
+    downsampling in one codegen'd predicate."""
+    c = F.col(value_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(h.cast("double") < weight.cast("double") * F.lit(HASH_SPACE))
+
+
+def weighted_gate_sql(value_expr: str, weight_expr: str, *, seed: int = 0) -> str:
+    """DuckDB mirror of the :func:`weighted_sample` predicate."""
+    h = (
+        f"CAST('0x' || substr(md5('{seed}' || '|' || "
+        f"CAST({value_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return f"CAST({h} AS DOUBLE) < CAST({weight_expr} AS DOUBLE) * {HASH_SPACE!r}"
+
+
 def sample_gate_sql(value_expr: str, fraction: float, *, seed: int = 0) -> str:
     """DuckDB mirror of the deterministic_sample predicate."""
     h = (

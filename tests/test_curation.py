@@ -73,3 +73,23 @@ def test_pack_sequences_layout(spark):
     # doc0 starts at 0 (bin 0); doc1 starts at 300 (bin 0, offset 300,
     # spans into bin 1); doc2 starts at 600 (bin 1, offset 88)
     assert got == {0: (0, 0), 1: (0, 300), 2: (1, 88)}
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from fluent_plugin_record_reformer_spark.operators.sketch import weighted_sample
+
+    df = spark.range(20000).select(
+        F.col("id").cast("string").alias("v"),
+        (F.col("id") % 2).alias("g"),
+    )
+    half = weighted_sample(df, "v", F.lit(0.5), seed=3)
+    a = {r["v"] for r in half.collect()}
+    b = {r["v"] for r in weighted_sample(df.repartition(7), "v", F.lit(0.5), seed=3).collect()}
+    assert a == b  # repartition-invariant
+    assert abs(len(a) - 10000) < 500  # ~binomial band
+    # weight monotonicity: a 0.2 sample is a SUBSET of the 0.5 sample
+    small = {r["v"] for r in weighted_sample(df, "v", F.lit(0.2), seed=3).collect()}
+    assert small <= a
+    # weight 0 keeps nothing, weight 1 keeps everything
+    assert weighted_sample(df, "v", F.lit(0.0), seed=3).count() == 0
+    assert weighted_sample(df, "v", F.lit(1.0), seed=3).count() == 20000
