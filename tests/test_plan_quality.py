@@ -113,3 +113,25 @@ def test_simhash_exploded_codegen_shape(spark):
     assert "Generate explode" in plan or "Generate posexplode" in plan
     assert "transform(" not in plan.replace("regexp_extract_all", "")
     assert plan.count("FileScan") == 1
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark hash set must broadcast — a shuffle join would
+    # move the full doc-side exploded hashes at 100 TB
+    plan = _plan(entrymod.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_pure_predicate(spark):
+    # the gate is ONE codegen'd filter on the scan side: no Python
+    # nodes, no join, no window
+    plan = _plan(entrymod.q_weighted_sample(spark, SF))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin", "Window"):
+        assert node not in plan, node
+
+
+def test_pack_and_mix_single_window_exchange(spark):
+    # running-sum layout: one hash Exchange for the per-source window,
+    # the rollup reuses that partitioning (plus AQE reads)
+    plan = _plan(entrymod.q_pack_sequences(spark, SF))
+    assert plan.count("Window") == 1
