@@ -135,3 +135,18 @@ def test_exact_quantiles_matches_sorted_reference(spark):
 
     assert got["g1"] == ref(range(1, 11))
     assert got["g2"] == ref([100, 200, 300])  # nulls excluded
+
+
+def test_dup_clusters_log_rounds_on_chain(spark):
+    """Pointer jumping must converge in O(log d) rounds, not O(d):
+    a 64-link chain needs <= ~8 rounds (plain propagation needs 64)."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           dup_clusters(pairs, stats=stats).collect()}
+    assert got == {i: 0 for i in range(65)}
+    assert stats["iterations"] <= 10, stats
