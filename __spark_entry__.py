@@ -649,6 +649,31 @@ def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end-to-end, one lazy plan: language
+    filter (predicted 'en') -> quality gate (stopword ratio) -> exact
+    dedup (keeper = min doc_id) -> deterministic 50% sample -> per-
+    source counts + token sums. The curation analog of pipeline_e2e."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    n_words = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all("text", F.lit(r"\b(the|and|of|to|a|in)\b"), 0)
+    )
+    gated = docs.filter(
+        (language_id(toks) == "en")
+        & (n_stop.cast("double") / F.greatest(n_words, F.lit(1)) >= 0.05)
+    )
+    keepers = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("source").alias("source")
+    )
+    sampled = deterministic_sample(keepers, "doc_id", 0.5, seed=5)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tokens"),
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified + quality-weighted deterministic sampling: per-row
     keep probability = per-source rate x length-derived quality proxy,
@@ -785,6 +810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mix": q_token_mix,
     "pack_sequences": q_pack_sequences,
     "weighted_sample": q_weighted_sample,
+    "curation_e2e": q_curation_e2e,
     "top_convs": q_top_convs,
     "kmv_distinct": q_kmv_distinct,
     "deterministic_sample": q_deterministic_sample,
@@ -1170,6 +1196,22 @@ SELECT source,
        count(*) AS n_docs_kept,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
 FROM cum WHERE c <= 2000 GROUP BY source
+""",
+    "curation_e2e": rf"""
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE {language_id_oracle_sql("text")} = 'en'
+    AND CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a|in)\b')) AS DOUBLE)
+        / greatest(len(regexp_extract_all(text, '[a-z]+')), 1) >= 0.05
+), keepers AS (
+  SELECT min(doc_id) AS doc_id, min(source) AS source, text
+  FROM gated GROUP BY text
+), sampled AS (
+  SELECT * FROM keepers WHERE {sample_gate_sql("doc_id", 0.5, seed=5)}
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+FROM sampled GROUP BY source
 """,
     "weighted_sample": f"""
 WITH weighted AS (

@@ -1,5 +1,6 @@
 from .pipeline import (
     TRANSCRIPT_SCHEMA,
+    dedup_stream,
     read_transcript_stream,
     reform_fanout_stream,
     windowed_counts_stream,
@@ -15,6 +16,7 @@ from .stateful import conversation_sessions
 __all__ = [
     "TRANSCRIPT_SCHEMA",
     "read_transcript_stream",
+    "dedup_stream",
     "reform_fanout_stream",
     "windowed_counts_stream",
     "KAFKA_SOURCE_SCHEMA",

@@ -82,6 +82,25 @@ def reform_fanout_stream(
     return writer.start()
 
 
+def dedup_stream(
+    stream: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("text",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins; the
+    dedup state is BOUNDED by the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — a key's state is dropped once
+    the watermark passes its event time, so a duplicate arriving
+    beyond the horizon re-emits; that is the documented contract,
+    matching how a batch backfill would re-see old keys). The
+    streaming analog of operators/dedup.exact_dedup."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def windowed_counts_stream(
     stream: DataFrame,
     *,

@@ -120,3 +120,35 @@ def test_kafka_stream_reader_call_shape():
     assert c["startingOffsets"] == "earliest"
     assert c["maxOffsetsPerTrigger"] == 1000
     assert c["loaded"]
+
+
+def test_dedup_stream_first_occurrence_wins(spark, tmp_path):
+    from fluent_plugin_record_reformer_spark.streaming.pipeline import dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    rows = [
+        (i, ["dup text A", "dup text B", f"unique {i}"][i % 3], f"2024-01-01 00:0{i % 6}:00")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_s string").select(
+        "doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    q = (
+        dedup_stream(stream, key_cols=("text",), watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    texts = [r["text"] for r in back.collect()]
+    assert len(texts) == len(set(texts))  # no duplicate keys emitted
+    assert set(t for t in texts if t.startswith("dup")) == {"dup text A", "dup text B"}
+    assert sum(1 for t in texts if t.startswith("unique")) == 10
