@@ -649,6 +649,31 @@ def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch mirror of the stateful streaming
+    sessionizer): a new session starts when the gap to the previous
+    turn exceeds 30 min — session ids via a cumulative boundary sum,
+    then per-conversation session stats."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    marked = t.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn("session_idx", F.sum("_new").over(w))
+    per_session = sess.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur_s"),
+    )
+    return per_session.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_turns").alias("longest_session_turns"),
+        F.max("dur_s").alias("longest_session_s"),
+    )
+
+
 def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline end-to-end, one lazy plan: language
     filter (predicted 'en') -> quality gate (stopword ratio) -> exact
@@ -811,6 +836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "weighted_sample": q_weighted_sample,
     "curation_e2e": q_curation_e2e,
+    "conv_sessions": q_conv_sessions,
     "top_convs": q_top_convs,
     "kmv_distinct": q_kmv_distinct,
     "deterministic_sample": q_deterministic_sample,
@@ -1197,6 +1223,34 @@ SELECT source,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
 FROM cum WHERE c <= 2000 GROUP BY source
 """,
+    "conv_sessions": TRANSCRIPTS_CTE
+    + """
+    , marked AS (
+      SELECT conv_id, turn_idx, ts,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                    - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                      OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                  > 1800
+                  OR lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM transcripts
+    ), sess AS (
+      SELECT conv_id, ts,
+             sum(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS session_idx
+      FROM marked
+    ), per_session AS (
+      SELECT conv_id, session_idx,
+             count(*) AS n_turns,
+             CAST(floor(epoch(max(ts))) AS BIGINT)
+               - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_s
+      FROM sess GROUP BY conv_id, session_idx
+    )
+    SELECT conv_id,
+           count(*) AS n_sessions,
+           max(n_turns) AS longest_session_turns,
+           CAST(max(dur_s) AS BIGINT) AS longest_session_s
+    FROM per_session GROUP BY conv_id
+    """,
     "curation_e2e": rf"""
 WITH gated AS (
   SELECT * FROM documents
