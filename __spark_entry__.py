@@ -1168,7 +1168,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
              - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
            CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
            count(gap_s) AS n_gaps,
-           sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant
     FROM gaps GROUP BY conv_id
     """,
     "decontaminate": f"""
@@ -1421,7 +1421,7 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
     SELECT role,
            count(*) AS n_turns,
            count(petype) AS n_parsed,
-           sum(CASE WHEN petype IS NULL THEN 1 ELSE 0 END) AS n_failed,
+           CAST(sum(CASE WHEN petype IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
            CAST(sum(coalesce(pval, CAST(0 AS DECIMAL(18,2)))) * 100 AS BIGINT) AS sum_val_cents
     FROM parsed GROUP BY role
     """,
