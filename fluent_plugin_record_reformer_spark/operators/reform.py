@@ -108,13 +108,26 @@ def reform(
     time_expr: Column = _quoted(ctx.time_col)
     if spec.renew_time_key and spec.renew_time_key in out:
         raw = out[spec.renew_time_key]
-        to_i = F.coalesce(
-            raw.try_cast("double").cast("long"),  # numerics + numeric strings
-            F.regexp_extract(
-                raw.cast("string"), r"^\s*([+-]?\d+)", 1
-            ).try_cast("long"),  # String#to_i leading-integer parse
-            F.lit(0).cast("long"),  # "abc".to_i == 0
-        )
+        # Dispatch on the STATIC type (driver-side analysis of the one
+        # column, no job): Ruby String#to_i is a leading-integer parse
+        # ("1e3".to_i == 1, "Infinity".to_i == 0, "123.45".to_i == 123),
+        # while numeric #to_i truncates toward zero. Casting strings
+        # through double first would silently apply float semantics.
+        from pyspark.sql.types import StringType
+
+        raw_type = df.select(raw.alias("__renew_probe")).schema[0].dataType
+        if isinstance(raw_type, StringType):
+            to_i = F.coalesce(
+                F.regexp_extract(
+                    raw, r"^\s*([+-]?\d+)", 1
+                ).try_cast("long"),  # String#to_i: leading integer only
+                F.lit(0).cast("long"),  # "abc".to_i == 0, "1e3" → 1 via regex
+            )
+        else:
+            to_i = F.coalesce(
+                raw.try_cast("double").cast("long"),  # numeric truncation
+                F.lit(0).cast("long"),
+            )
         time_expr = F.when(
             raw.isNotNull(), F.timestamp_seconds(to_i)
         ).otherwise(time_expr)

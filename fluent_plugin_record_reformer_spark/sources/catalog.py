@@ -38,6 +38,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _is_missing_table_error(exc: Exception) -> bool:
+    """True only for the missing-table family: Spark's
+    TABLE_OR_VIEW_NOT_FOUND error class / AnalysisException message, or
+    Iceberg's NoSuchTableException. Anything else (schema mismatch,
+    auth, connectivity) is a real append failure and must propagate."""
+    s = str(exc)
+    return (
+        "TABLE_OR_VIEW_NOT_FOUND" in s
+        or "NoSuchTableException" in s
+        or "Table or view not found" in s
+        or "table or view cannot be found" in s.lower()
+    )
+
+
 @dataclass(frozen=True)
 class PathCatalog:
     """Parquet paths under a root directory — the jar-free fallback."""
@@ -98,12 +112,23 @@ class IcebergCatalog:
             return
         try:
             writer.append()
-        except Exception:
+        except Exception as exc:
+            # Only a MISSING-TABLE error means "first write → create".
+            # A bare except here would swallow genuine append failures
+            # (schema mismatch, auth, connectivity) and resurface them
+            # as a confusing "table already exists" from create().
+            if not _is_missing_table_error(exc):
+                raise
             # first write: create with hidden partitioning, then the
             # append path is transactional snapshots from here on
             if partition_by:
                 writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-            writer.create()
+            try:
+                writer.create()
+            except Exception as create_exc:  # lost a concurrent create race
+                if "already exists" not in str(create_exc).lower():
+                    raise
+                df.writeTo(self.ident(name)).append()
 
 
 def resolve_catalog(

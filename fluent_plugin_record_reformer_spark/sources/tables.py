@@ -48,6 +48,33 @@ def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None)
     return df
 
 
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_byte_string(raw: str, default: int = 134217728) -> int:
+    """Spark byte-string format (JavaUtils.byteStringAsBytes): integer +
+    optional b/k/kb/m/mb/g/gb/t/tb/p/pb suffix, case-insensitive.
+    Scraping digits alone would read ``128m`` as 128 *bytes* and inflate
+    the split estimate ~10^6x, silently disabling the small-input
+    repartition this estimate feeds."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", raw)
+    if not m:
+        return default
+    mult = _BYTE_SUFFIX.get(m.group(2).lower())
+    if mult is None:
+        return default
+    return int(m.group(1)) * mult
+
+
 def _estimated_scan_splits(df: DataFrame) -> int | None:
     """Split-count estimate from the scan's input files — pure driver
     metadata, no plan->RDD conversion. None when the frame has no
@@ -61,8 +88,7 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     if not files:
         return None
     raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    digits = "".join(ch for ch in str(raw) if ch.isdigit())
-    max_bytes = int(digits) if digits else 134217728
+    max_bytes = _parse_byte_string(str(raw))
     est = 0
     for f in files:
         path = f[len("file:"):] if f.startswith("file:") else f

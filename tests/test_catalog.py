@@ -107,6 +107,45 @@ def test_iceberg_catalog_creates_on_first_append(spark, monkeypatch):
     assert log == [("create", "lake.default.t", 1)]
 
 
+def test_iceberg_catalog_append_failure_propagates(spark, monkeypatch):
+    """A genuine append failure (schema mismatch, auth, connectivity) on
+    an EXISTING table must re-raise unchanged — not be masked as a
+    'table already exists' error from a bogus create() retry."""
+    log = []
+
+    class _SchemaMismatchAppend(_FakeWriter):
+        def append(self):
+            raise RuntimeError("Cannot write incompatible data: schema mismatch on col x")
+
+    df = _events(spark)
+    monkeypatch.setattr(
+        type(df), "writeTo", lambda self, ident: _SchemaMismatchAppend(log, ident)
+    )
+    with pytest.raises(RuntimeError, match="incompatible data"):
+        IcebergCatalog("lake").write(df, "t")
+    assert log == []  # no create attempted
+
+
+def test_iceberg_catalog_create_race_falls_back_to_append(spark, monkeypatch):
+    """Two first-writers: the loser of the create race appends instead."""
+    log = []
+
+    class _RaceWriter(_FakeWriter):
+        def append(self):
+            if not any(op == "create" for op, *_ in self.log):
+                raise RuntimeError("Table or view not found")
+            self.log.append(("append", self.ident, self.partitioning))
+
+        def create(self):
+            self.log.append(("create", self.ident, self.partitioning))
+            raise RuntimeError("Table lake.default.t already exists")
+
+    df = _events(spark)
+    monkeypatch.setattr(type(df), "writeTo", lambda self, ident: _RaceWriter(log, ident))
+    IcebergCatalog("lake").write(df, "t")
+    assert log == [("create", "lake.default.t", None), ("append", "lake.default.t", None)]
+
+
 def test_resolve_catalog(spark, monkeypatch, tmp_path):
     monkeypatch.delenv("SPARK_GRAFT_CATALOG", raising=False)
     got = resolve_catalog(spark, root=str(tmp_path))

@@ -121,6 +121,11 @@ def test_renew_time_key_ruby_to_i_parity(spark):
         ("12abc", 12),               # leading-integer parse
         ("  42", 42),                # leading whitespace skipped
         ("abc", 0),                  # "abc".to_i == 0
+        ("1e3", 1),                  # "1e3".to_i == 1 — NOT 1000; String#to_i
+                                     # never applies float/scientific parsing
+        ("0x1A", 0),                 # no radix prefixes either
+        ("Infinity", 0),             # not a leading integer → 0
+        ("NaN", 0),
     ]
     df = spark.createDataFrame(
         [Row(tag="test.tag", ts=TS, k=str(i), tkey=v) for i, (v, _) in enumerate(cases)]
@@ -138,6 +143,21 @@ def test_renew_time_key_ruby_to_i_parity(spark):
     )
     out = reform(df_null, spec, ReformContext(hostname=HOST)).collect()
     assert out[0]["ts"] == TS
+
+
+def test_renew_time_key_numeric_truncates(spark):
+    # Numeric-typed fields keep Float#to_i semantics: truncate toward
+    # zero (the string branch above must NOT apply to these).
+    df = spark.createDataFrame(
+        [
+            Row(tag="test.tag", ts=TS, k="a", tkey=1354689632.9),
+            Row(tag="test.tag", ts=TS, k="b", tkey=-1.5),
+        ]
+    )
+    spec = TransformSpec(tag="t", renew_time_key="tkey")
+    out = {r["k"]: r["ts"] for r in reform(df, spec, ReformContext(hostname=HOST)).collect()}
+    assert out["a"] == dt.datetime.fromtimestamp(1354689632, dt.timezone.utc).replace(tzinfo=None)
+    assert out["b"] == dt.datetime.fromtimestamp(-1, dt.timezone.utc).replace(tzinfo=None)
 
 
 def test_renew_time_key_from_spec_field(spark):

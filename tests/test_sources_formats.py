@@ -67,3 +67,37 @@ def test_json_malformed_lines_dont_fail(spark, tmp_path):
     assert len(got) == 3  # permissive: rows survive, bad fields null
     ok = [r for r in got if r["conv_id"] == "c1" and r["turn_idx"] == 0]
     assert len(ok) == 1
+
+
+def test_parse_byte_string_suffixes():
+    """spark.sql.files.maxPartitionBytes accepts Spark byte-strings like
+    '128m'; scraping digits would read that as 128 BYTES and inflate the
+    split estimate ~10^6x, silently skipping the small-input repartition."""
+    from fluent_plugin_record_reformer_spark.sources.tables import _parse_byte_string
+
+    assert _parse_byte_string("134217728b") == 134217728
+    assert _parse_byte_string("134217728") == 134217728
+    assert _parse_byte_string("128m") == 128 * 1024 * 1024
+    assert _parse_byte_string("128MB") == 128 * 1024 * 1024
+    assert _parse_byte_string("1g") == 1 << 30
+    assert _parse_byte_string("64k") == 64 * 1024
+    assert _parse_byte_string("garbage") == 134217728  # default, not 0
+    assert _parse_byte_string("12zz") == 134217728  # unknown suffix -> default
+
+
+def test_estimated_splits_uses_conf_suffix(spark, tmp_path):
+    from fluent_plugin_record_reformer_spark.sources.tables import _estimated_scan_splits
+
+    df = spark.range(1000).repartition(1)
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    scan = spark.read.parquet(path)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        est = _estimated_scan_splits(scan)
+        # a few-KB file under a 128 MiB split size is exactly 1 split;
+        # the digit-scraping bug made this ~(size/128) splits instead
+        assert est == 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
