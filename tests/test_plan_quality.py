@@ -130,8 +130,21 @@ def test_weighted_sample_pure_predicate(spark):
         assert node not in plan, node
 
 
-def test_pack_and_mix_single_window_exchange(spark):
-    # running-sum layout: one hash Exchange for the per-source window,
-    # the rollup reuses that partitioning (plus AQE reads)
+def test_pack_sequences_no_per_source_window(spark):
+    # Scale contract (VERDICT r2 #3): the running sum must NEVER funnel
+    # an entire source through one window task. Every window over the
+    # doc-sized data must be partitioned by (source, _chunk); the only
+    # source-alone window allowed is the tiny per-chunk offsets frame
+    # (n_groups x chunks rows), recognizable by its _ctot aggregate.
     plan = _plan(entrymod.q_pack_sequences(spark, SF))
-    assert plan.count("Window") == 1
+    assert "rangepartitioning" in plan  # order-monotone chunking present
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected running-sum windows in the plan"
+    for spec in specs:
+        # local running sum partitions by (source, _chunk); the tiny
+        # offsets window partitions by source but ORDERS by _chunk —
+        # either way _chunk appears. A spec without _chunk would be a
+        # whole-source single-task window.
+        assert "_chunk" in spec, f"source-only window over full data: {spec}"
