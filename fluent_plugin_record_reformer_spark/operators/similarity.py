@@ -277,38 +277,47 @@ def embedding_near_dup(
       than expanded into O(n^2) pairs — same cap as
       dedup.lsh_candidate_pairs.
     """
+    # Carry (id, vec) structs through the bucket collect_list — the
+    # same carried-payload trick lsh_near_dup uses for shingle sets —
+    # so the exact-cosine re-rank never joins the vector table back
+    # (the old shape joined it back TWICE: two extra shuffles of the
+    # pairs plus two extra scans). Bucket state is the same bytes the
+    # join would have shuffled anyway, and max_bucket bounds it.
     v = vectors.select(
-        F.col(id_col), F.col(vec_col),
         signbit_bucket(F.col(vec_col), planes=planes).alias("_bucket"),
+        F.struct(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).alias("_m"),
     )
-    members = v.groupBy("_bucket").agg(
-        F.sort_array(F.collect_list(id_col)).alias("_ids")
-    )
+    # sort_array compares struct fields in order → sorts by id (unique),
+    # keeping pair orientation id_a < id_b deterministic
+    members = v.groupBy("_bucket").agg(F.sort_array(F.collect_list("_m")).alias("_ms"))
     if max_bucket is not None:
-        members = members.filter(F.size("_ids") <= max_bucket)
+        members = members.filter(F.size("_ms") <= max_bucket)
     pair_structs = F.flatten(
         F.transform(
-            F.col("_ids"),
+            F.col("_ms"),
             lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["vec"].alias("_va"),
+                    y["vec"].alias("_vb"),
+                ),
             ),
         )
     )
-    pairs = (
-        members.filter(F.size("_ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-    )
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # cosine runs on the EXPLODED rows (regular projection), not inside
+    # the pair-gen lambdas — HOF lambda bodies are interpreted, the
+    # r1 lesson behind the simhash/minhash 10x
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        members.filter(F.size("_ms") > 1)
+        .select(F.explode(pair_structs).alias("p"))
         .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos_sim"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.round(cosine(F.col("p._va"), F.col("p._vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

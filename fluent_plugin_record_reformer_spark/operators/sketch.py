@@ -11,11 +11,16 @@ smallest DISTINCT hashes per group, and estimate
 where h_(k) is the k-th minimum. Standard KMV estimator (Bar-Yossef et
 al.); relative error ~ 1/sqrt(k-2).
 
-Scale shape: TWO-PHASE merge (see :func:`kmv_distinct`) — per-bucket
-k-mins first, then a bounded merge of <= k * merge_buckets int64s per
-group, so no aggregation state ever holds a whole group's distinct
-hashes. The merge is lossless: the final k-mins (and therefore the
-estimate) are identical to a single-phase sketch.
+Scale shape (see :func:`kmv_distinct`): a cardinality-adaptive
+THRESHOLD PRE-FILTER — keep only hashes below ~prefilter_factor * k *
+2^60 / D̂ (D̂ from Spark's HLL, used ONLY as a heuristic, never in any
+result) — so the per-group aggregation state is ~prefilter_factor * k
+int64s REGARDLESS of group cardinality, with an exactness guard: any
+group where the pre-filter provably might have clipped a true k-min
+(fewer than k survivors AND rows were dropped) is recomputed via the
+salted two-phase merge (state D/merge_buckets per bucket — the honest
+bound of that path). Either way the final k-mins, and therefore the
+estimate, are bit-identical to a single-phase sketch.
 
 Determinism: both the hash and the k-min selection are exact integer
 ops; the final estimate divides in IEEE doubles identically on Spark
@@ -38,6 +43,34 @@ def kmv_hash(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
 
+def _estimate_from_kmin(kmin: Column, k: int) -> Column:
+    n = F.size(kmin)
+    kth = F.element_at(kmin, k)
+    return F.when(n < k, n.cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / kth.cast("double")
+    )
+
+
+def _salted_kmin(
+    hashed: DataFrame, group_cols: Sequence[str], *, k: int, merge_buckets: int
+) -> DataFrame:
+    """Salted two-phase k-min (the fallback path): phase 1 keeps the k
+    smallest distinct hashes per (group, salt) bucket, phase 2 merges
+    the per-bucket lists. Every global k-min is a k-min of its own
+    bucket, so the merge is lossless. Phase-1 aggregation state is the
+    bucket's full distinct set BEFORE the slice — D/merge_buckets
+    values per bucket, reduced merge_buckets-fold but NOT bounded at
+    k — which is why this is only the guard path, not the main one."""
+    part = hashed.groupBy(
+        *group_cols, F.pmod(F.col("_h"), F.lit(merge_buckets)).alias("_salt")
+    ).agg(F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_kp"))
+    # buckets partition the hash space, so the flattened lists are
+    # already distinct — merge is sort + take-k
+    return part.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_kp"))), 1, k).alias("_kmin")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     value_col: str,
@@ -46,45 +79,95 @@ def kmv_distinct(
     k: int = 64,
     out_col: str = "approx_distinct",
     merge_buckets: int = 64,
+    prefilter_factor: float = 8.0,
 ) -> DataFrame:
     """Per-group approximate distinct count of ``value_col``.
 
     Exact when the group has fewer than k distinct values (the sketch
     degenerates to plain counting), the KMV estimate otherwise.
 
-    TWO-PHASE (the classic sketch-merge shape): phase 1 keeps the k
-    smallest distinct hashes per (group, salt) bucket — the salt is
-    ``hash mod merge_buckets``, a pure function of the value — and
-    phase 2 merges the per-bucket k-min lists and re-takes the k
-    smallest. Because every global k-min is necessarily a k-min of its
-    own bucket, the merged result is IDENTICAL to the single-phase
-    sketch (the DuckDB oracle stays single-phase and still matches
-    bit-for-bit), but no single aggregation state ever holds a whole
-    group's distinct hashes: phase-1 state is bounded per bucket and
-    phase-2 state is <= k * merge_buckets int64s per group — the shape
-    that survives a 10^10-cardinality group at 100 TB.
+    BOUNDED-STATE shape: the k-th minimum of a D-cardinality group sits
+    near k * 2^60 / D, so first estimate D̂ per group with Spark's HLL
+    (``approx_count_distinct`` — a HEURISTIC that only positions the
+    pre-filter; it never reaches any result, so the cross-engine gate
+    is untouched), then keep only hashes below
+    ``prefilter_factor * k * 2^60 / D̂``. Survivors number
+    ~prefilter_factor * k per group regardless of cardinality, so the
+    per-group ``collect_set`` state is genuinely bounded (~512 int64s
+    at the defaults) where the salted two-phase merge still held
+    D/merge_buckets values per bucket.
+
+    Exactness guard: if a group ends with fewer than k survivors AND
+    the pre-filter dropped rows (i.e. a true k-min might have been
+    clipped — possible only if HLL over-estimated D by more than
+    prefilter_factor, vanishingly rare but not impossible), that group
+    is recomputed via :func:`_salted_kmin`. The guard check is one tiny
+    driver-side count (same budget as dup_clusters' convergence
+    counts). Either path yields k-mins bit-identical to a single-phase
+    sketch, so the DuckDB oracle stays single-phase.
+
+    Cost note: the HLL pre-pass is a second scan over the hashed
+    values; both aggregations are map-side partial. At 100 TB that is
+    the right trade — an extra cheap pass instead of unbounded
+    aggregation state.
     """
+    if not group_cols:
+        return kmv_distinct(
+            df.withColumn("_g", F.lit(1)),
+            value_col,
+            ["_g"],
+            k=k,
+            out_col=out_col,
+            merge_buckets=merge_buckets,
+            prefilter_factor=prefilter_factor,
+        ).drop("_g")
     # NULL values carry no identity: drop them on BOTH engines (Spark's
     # collect_set drops nulls implicitly, DuckDB's list(DISTINCT) keeps
     # them and a null would displace a real k-min after sorting).
     hashed = df.select(*group_cols, kmv_hash(value_col).alias("_h")).filter(
         F.col("_h").isNotNull()
     )
-    part = hashed.groupBy(
-        *group_cols, F.pmod(F.col("_h"), F.lit(merge_buckets)).alias("_salt")
-    ).agg(F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_kp"))
-    # buckets partition the hash space, so the flattened lists are
-    # already distinct — merge is sort + take-k
-    mins = part.groupBy(*group_cols).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("_kp"))), 1, k).alias("_kmin")
+    est = hashed.groupBy(*group_cols).agg(
+        F.approx_count_distinct("_h").alias("_dest")
     )
-    n = F.size("_kmin")
-    kth = F.element_at("_kmin", k)
-    estimate = F.when(n < k, n.cast("double")).otherwise(
-        (F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / kth.cast("double")
+    # clamp in DOUBLE before the long cast — a tiny D̂ would overflow
+    # bigint otherwise (factor * k * 2^60 / 10 > Long.MAX)
+    threshold = (
+        F.least(
+            F.lit(float(HASH_SPACE)),
+            F.lit(float(prefilter_factor * k)) * F.lit(HASH_SPACE) / F.col("_dest"),
+        )
+        .cast("long")
+        .alias("_thr")
     )
-    return mins.select(
-        *group_cols, F.round(estimate).cast("long").alias(out_col)
+    # AQE broadcasts the per-group threshold frame when groups are few
+    # (the usual case); many-group inputs shuffle-join but then each
+    # group is small and the guard never fires
+    with_thr = hashed.join(est.select(*group_cols, threshold), list(group_cols))
+    surv = with_thr.groupBy(*group_cols).agg(
+        F.slice(
+            F.sort_array(F.collect_set(F.when(F.col("_h") < F.col("_thr"), F.col("_h")))),
+            1,
+            k,
+        ).alias("_kmin"),
+        F.sum(F.when(F.col("_h") >= F.col("_thr"), 1).otherwise(0)).alias("_ndrop"),
+    )
+    needs_fb = (F.size("_kmin") < k) & (F.col("_ndrop") > 0)
+    flagged = surv.filter(needs_fb).select(*group_cols)
+    # tiny driver-side count: 0 in practice (requires HLL to over-
+    # estimate by > prefilter_factor)
+    if flagged.limit(1).count() > 0:
+        good = surv.filter(~needs_fb)
+        redo = _salted_kmin(
+            hashed.join(F.broadcast(flagged), list(group_cols), "leftsemi"),
+            group_cols,
+            k=k,
+            merge_buckets=merge_buckets,
+        ).withColumn("_ndrop", F.lit(0))
+        surv = good.unionByName(redo)
+    return surv.select(
+        *group_cols,
+        F.round(_estimate_from_kmin(F.col("_kmin"), k)).cast("long").alias(out_col),
     )
 
 

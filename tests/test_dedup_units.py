@@ -150,3 +150,53 @@ def test_dup_clusters_log_rounds_on_chain(spark):
            dup_clusters(pairs, stats=stats).collect()}
     assert got == {i: 0 for i in range(65)}
     assert stats["iterations"] <= 10, stats
+
+
+def test_kmv_prefilter_bounds_state(spark):
+    """The cardinality-adaptive pre-filter must cap per-group survivor
+    counts near prefilter_factor*k regardless of group cardinality —
+    the bounded-aggregation-state contract (VERDICT r2 #5). Recompute
+    the survivor set exactly as kmv_distinct positions it."""
+    from fluent_plugin_record_reformer_spark.operators.sketch import (
+        HASH_SPACE,
+        kmv_hash,
+    )
+
+    k, factor = 64, 8.0
+    df = spark.range(200000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    hashed = df.select("g", kmv_hash("v").alias("_h"))
+    est = hashed.groupBy("g").agg(F.approx_count_distinct("_h").alias("_dest"))
+    thr = F.least(
+        F.lit(float(HASH_SPACE)), F.lit(factor * k) * F.lit(HASH_SPACE) / F.col("_dest")
+    ).cast("long")
+    surv = (
+        hashed.join(est.select("g", thr.alias("_thr")), "g")
+        .filter(F.col("_h") < F.col("_thr"))
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    for r in surv:
+        # 100k distinct per group, but survivors stay ~factor*k; allow
+        # 4x slack for HLL error + binomial spread
+        assert r["count"] <= 4 * factor * k, r
+
+
+def test_kmv_underflow_guard_falls_back_exactly(spark):
+    """Force the exactness guard: prefilter_factor=0.25 keeps ~16 < k
+    survivors, so every group must be recomputed via the salted path —
+    and the result must STILL equal the default sketch bit-for-bit."""
+    from fluent_plugin_record_reformer_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(20000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    normal = {r["g"]: r["approx_distinct"] for r in
+              kmv_distinct(df, "v", ["g"], k=64).collect()}
+    forced = {r["g"]: r["approx_distinct"] for r in
+              kmv_distinct(df, "v", ["g"], k=64, prefilter_factor=0.25).collect()}
+    assert forced == normal

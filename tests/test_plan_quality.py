@@ -114,6 +114,16 @@ def test_simhash_exploded_codegen_shape(spark):
     assert "transform(" not in plan.replace("regexp_extract_all", "")
     assert plan.count("FileScan") == 1
 
+def test_embed_near_dup_single_scan_no_joinback(spark):
+    # (id, vec) structs are CARRIED through the bucket collect_list, so
+    # the exact-cosine re-rank needs no join back to the vector table:
+    # exactly one scan, zero joins (VERDICT r2 #4)
+    plan = _plan(entrymod.q_embed_near_dup(spark, SF))
+    assert plan.count("FileScan") == 1, "re-rank re-joined the vector table"
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan, node
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     # the benchmark hash set must broadcast — a shuffle join would
     # move the full doc-side exploded hashes at 100 TB
