@@ -292,6 +292,7 @@ def dup_clusters(
     id_b: str = "id_b",
     max_iters: int = 30,
     stats: dict | None = None,
+    label_salt: int = 1,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the component's minimum doc id (the keeper).
@@ -310,6 +311,18 @@ def dup_clusters(
     per round and stops at convergence. ``max_iters`` is a guard far
     above log2 of any real component diameter. Pass ``stats={}`` to
     receive {"iterations": n}.
+
+    Skew: the neighbour min-agg is safe under hub vertices (min gets
+    map-side partial aggregation — each task pre-reduces to one row
+    per key before the shuffle). The hot key is the POINTER-JUMP join:
+    as labels converge, every vertex of a mega-component carries the
+    SAME ``_lbl``, so the label-of-label join funnels that component
+    through one reducer. ``label_salt > 1`` splits it — probe rows get
+    a deterministic salt ``pmod(xxhash64(_v), S)``, the (tiny, unique-
+    keyed) parent side is replicated S ways — capping the hot key's
+    reducer at 1/S of the component for an S-fold replication of the
+    skinny (v, label) pairs. Default 1 (off): AQE's skew-join split
+    handles moderate skew; raise it for known mega-component inputs.
     """
     edges = pairs.select(
         F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
@@ -345,12 +358,25 @@ def dup_clusters(
         parent = stepped.select(
             F.col("_v").alias("_p"), F.col("_lbl").alias("_plbl")
         )
+        if label_salt > 1:
+            salts = F.array([F.lit(i) for i in range(label_salt)])
+            parent = parent.withColumn("_ps", F.explode(salts))
+            probe = stepped.withColumn(
+                "_ss", F.pmod(F.xxhash64("_v"), F.lit(label_salt)).cast("int")
+            )
+            jumped = probe.join(
+                parent,
+                (probe["_lbl"] == parent["_p"]) & (probe["_ss"] == parent["_ps"]),
+                "left",
+            )
+        else:
+            probe = stepped
+            jumped = probe.join(parent, probe["_lbl"] == parent["_p"], "left")
         new_labels = (
-            stepped.join(parent, stepped["_lbl"] == parent["_p"], "left")
-            .select(
-                stepped["_v"],
+            jumped.select(
+                probe["_v"],
                 F.least(
-                    stepped["_lbl"], F.coalesce(F.col("_plbl"), stepped["_lbl"])
+                    probe["_lbl"], F.coalesce(F.col("_plbl"), probe["_lbl"])
                 ).alias("_lbl"),
             )
             .localCheckpoint(eager=True)

@@ -38,13 +38,34 @@ def values_dim(spark: SparkSession, rows: Sequence[tuple], colspec: str) -> Data
     stays entirely JVM-side (LocalRelation: zero tasks, zero Python)."""
 
     def lit(v: object) -> str:
+        # Typed whitelist, never repr: a repr'd arbitrary object would
+        # interpolate unescaped text straight into SQL. Strings escape
+        # BACKSLASH before quote-doubling — Spark processes backslash
+        # escapes in literals, so a trailing '\' would otherwise eat
+        # the closing quote (injection).
+        import datetime as _dt
+        import math as _math
+
         if v is None:
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        return repr(v)
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            if not _math.isfinite(v):
+                raise ValueError(f"non-finite dim literal {v!r}")
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return "'" + v.isoformat(sep=" ") + "'"
+        if isinstance(v, _dt.date):
+            return "'" + v.isoformat() + "'"
+        raise TypeError(
+            f"unsupported dim literal type {type(v).__name__}; "
+            "pass str/int/float/bool/None/date/datetime"
+        )
 
     names = [c.strip().split()[0] for c in colspec.split(",")]
     values = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)

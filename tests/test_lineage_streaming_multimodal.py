@@ -210,3 +210,74 @@ def test_multimodal_metadata_scan_prunes_payload(spark, media, tmp_path):
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan  # blob column pruned from the scan
     assert stats.count() == 2
+
+
+def test_streaming_crash_midbatch_exactly_once(spark, transcripts, tmp_path):
+    """Kill the fan-out query MID-micro-batch (slow batches injected via
+    mapInPandas + stop() right after the first commit), restart from the
+    checkpoint, and assert the final output equals the input exactly —
+    no duplicates, no loss. The parquet sink's _spark_metadata commit
+    log must hide any uncommitted in-flight files from readers."""
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # 6 single-file slices => 6 micro-batches at maxFilesPerTrigger=1
+    # (written by Spark so parquet physical types match the stream schema)
+    import glob as globmod
+    import shutil
+
+    for i in range(6):
+        staging = str(tmp_path / f"stage{i}")
+        transcripts.drop("tag").filter(F.col("turn_idx") % 6 == i).coalesce(
+            1
+        ).write.parquet(staging)
+        part = globmod.glob(f"{staging}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/slice{i}.parquet")
+
+    spec = TransformSpec(
+        tag="reformed.${tag_prefix[-2]}",
+        record={"message": "${record['text']}!"},
+        remove_keys=["text"],
+    )
+    ctx = ReformContext(hostname="crash-host")
+    routes = RouteTable([Route("sys", "reformed.transcripts.system"), Route("rest", "**")])
+
+    raw = read_transcript_stream(spark, src, max_files_per_trigger=1)
+
+    def sleepy(batches):
+        for b in batches:
+            time.sleep(1.5)
+            yield b
+
+    slow = with_tag(raw.mapInPandas(sleepy, schema=raw.schema))
+    q = reform_fanout_stream(slow, spec, ctx, routes, out, ckpt)
+    commits = os.path.join(ckpt, "commits")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [
+            f for f in (os.listdir(commits) if os.path.isdir(commits) else [])
+            if not f.endswith(".tmp")
+        ]
+        if len(done) >= 1:
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("no micro-batch committed within deadline")
+    q.stop()  # batch 2+ is mid-sleep: an in-flight, uncommitted batch
+
+    # restart from the checkpoint (no injected slowness) and drain
+    q2 = reform_fanout_stream(
+        with_tag(raw), spec, ctx, routes, out, ckpt, available_now=True
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == transcripts.count()  # no loss, no duplicates
+    keys = got.select("conv_id", "turn_idx")
+    assert keys.distinct().count() == keys.count()
+    n_sys = transcripts.filter("role = 'system'").count()
+    assert got.filter("route = 'sys'").count() == n_sys

@@ -218,3 +218,107 @@ def test_grok_parse_with_definitions(spark):
     got = {r["text"]: (r["code"], r["n"]) for r in out}
     assert got["code=X17 n=42"] == ("X17", 42)
     assert got["garbage"] == (None, None)
+
+
+def test_grok_base_library_breadth(spark):
+    """The commonly-hit public grok base patterns parse their canonical
+    sample lines end-to-end (grok -> Java regex -> regexp_extract)."""
+    import re as _re
+
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_to_regex
+
+    cases = {
+        "HTTPDATE": ("10/Oct/2000:13:55:36 -0700", True),
+        "PATH": ("/var/log/app-1.log", True),
+        "URIPATH": ("/api/v2/users", True),
+        "URI": ("https://user@example.com:8443/a/b?x=1", True),
+        "EMAILADDRESS": ("ops+oncall@example.co.uk", True),
+        "SYSLOGTIMESTAMP": ("Feb  5 17:32:18", True),
+        "TIME": ("23:59:60.5", True),
+        "MONTH": ("September", True),
+        "EMAILADDRESS_bad": ("not-an-email", False),
+    }
+    for name, (sample, should_match) in cases.items():
+        pat = name.split("_")[0]
+        rx, _ = grok_to_regex(f"^%{{{pat}}}$")
+        assert bool(_re.match(rx, sample)) == should_match, (name, rx)
+
+
+def test_grok_combinedapachelog(spark):
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    line = (
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"'
+    )
+    df = spark.createDataFrame([(line,)], "text string")
+    out = grok_parse(
+        df,
+        "%{COMBINEDAPACHELOG}",
+        types={"response": "int", "bytes": "long"},
+    ).collect()[0]
+    assert out["clientip"] == "127.0.0.1"
+    assert out["auth"] == "frank"
+    assert out["timestamp"] == "10/Oct/2000:13:55:36 -0700"
+    assert out["verb"] == "GET"
+    assert out["request"] == "/apache_pb.gif"
+    assert out["httpversion"] == "1.0"
+    assert out["response"] == 200
+    assert out["bytes"] == 2326
+    assert out["referrer"] == '"http://www.example.com/start.html"'
+
+
+def test_grok_syslogbase(spark):
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    line = "Feb  5 17:32:18 web01 sshd[1234]: Accepted publickey for root"
+    df = spark.createDataFrame([(line,)], "text string")
+    out = grok_parse(df, "%{SYSLOGBASE} %{GREEDYDATA:message}",
+                     types={"pid": "int"}).collect()[0]
+    assert out["timestamp"] == "Feb  5 17:32:18"
+    assert out["logsource"] == "web01"
+    assert out["program"] == "sshd"
+    assert out["pid"] == 1234
+    assert out["message"] == "Accepted publickey for root"
+
+
+def test_values_dim_hostile_literals(spark):
+    """String literals must survive quotes, doubled quotes, and
+    trailing backslashes (Spark processes backslash escapes in SQL
+    literals — an unescaped trailing backslash eats the closing quote);
+    non-whitelisted types must raise, not repr into the SQL."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from fluent_plugin_record_reformer_spark.operators.enrich import values_dim
+
+    hostile = [
+        ("it's", 1),
+        ("trailing\\", 2),
+        ("quote''double", 3),
+        ("semi'); DROP TABLE x; --", 4),
+        (None, 5),
+    ]
+    got = {r["k"]: r["n"] for r in
+           values_dim(spark, hostile, "k string, n int").collect()}
+    assert got == {
+        "it's": 1,
+        "trailing\\": 2,
+        "quote''double": 3,
+        "semi'); DROP TABLE x; --": 4,
+        None: 5,
+    }
+    with _pytest.raises(TypeError):
+        values_dim(spark, [(object(), 1)], "k string, n int")
+    with _pytest.raises(ValueError):
+        values_dim(spark, [(float("inf"), 1)], "k double, n int")
+    # date/datetime literals round-trip through the declared cast
+    d = values_dim(
+        spark,
+        [(dt.date(2024, 3, 1), dt.datetime(2024, 3, 1, 12, 30, 0))],
+        "d date, t timestamp",
+    ).collect()[0]
+    assert d["d"] == dt.date(2024, 3, 1)
+    assert d["t"] == dt.datetime(2024, 3, 1, 12, 30, 0)

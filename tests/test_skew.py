@@ -156,3 +156,40 @@ def test_trained_ivf_recall_at_least_fixed_slice(spark):
     recall_trained = len(topk_set(ivf_topk(emb, trained, queries, k=5, nprobe=2)) & truth)
     assert recall_trained >= recall_fixed, (recall_trained, recall_fixed)
     assert recall_trained > 0
+
+
+def test_dup_clusters_mega_component_salted(spark):
+    """One component holding ~90% of edges: the salted pointer-jump
+    must yield IDENTICAL labels to the unsalted path (salting is pure
+    replication + deterministic bucketing — never changes the min), and
+    the probe side must actually spread across salt buckets."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import dup_clusters
+
+    # mega chain component 0..900 (chain = worst diameter) + 10 small pairs
+    mega = [(i, i + 1) for i in range(900)]
+    small = [(10_000 + 2 * i, 10_001 + 2 * i) for i in range(10)]
+    df = spark.createDataFrame(mega + small, "id_a long, id_b long")
+
+    plain_stats, salted_stats = {}, {}
+    plain = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters(df, stats=plain_stats).collect()
+    }
+    salted = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters(df, stats=salted_stats, label_salt=4).collect()
+    }
+    assert salted == plain
+    # mega component labelled by its min; chain converges in log rounds
+    assert all(c == 0 for v, c in plain if v <= 900)
+    assert plain_stats["iterations"] <= 15
+    # the salt really buckets: 901 vertices over 4 buckets, each nonempty
+    buckets = (
+        df.select(F.col("id_a").alias("_v"))
+        .union(df.select("id_b"))
+        .distinct()
+        .select(F.pmod(F.xxhash64("_v"), F.lit(4)).alias("b"))
+        .groupBy("b")
+        .count()
+    )
+    assert buckets.count() == 4
