@@ -63,25 +63,43 @@ def exact_quantiles(
 
     Quantile rule: value at rank ``ceil(q * n)`` (1-based) of the
     group's sorted values — ties in the sort order cannot change the
-    selected VALUE, so no tiebreak column is needed. One shuffle
-    (window partition by group), ranks picked in the same pass, final
-    agg reuses the partitioning. The sort is the honest cost of EXACT
-    quantiles; at 100 TB use this per bounded group (roles, sinks,
-    hours), not per raw unbounded key.
+    selected VALUE, so no tiebreak column is needed.
+
+    Scale shape: the global rank is computed CHUNKED, not by one
+    window per group — range-partition (group, value) into
+    order-monotone chunks, row_number within each (group, chunk),
+    then add broadcast per-chunk count offsets. Parallelism is
+    n_groups × n_chunks, so one giant group no longer serializes
+    through a single sort task (the same layout as
+    curation.distributed_running_sum; a tie straddling a chunk
+    boundary permutes ranks WITHIN the tie run only, which cannot
+    change the value at any rank). The sort is still the honest cost
+    of EXACT quantiles — it is just no longer single-threaded per
+    group.
 
     NULL values are excluded (they carry no order), mirroring SQL
     aggregate semantics on both engines.
     """
     from pyspark.sql import Window
 
-    vals = df.filter(F.col(value_col).isNotNull())
-    w_order = Window.partitionBy(*group_cols).orderBy(value_col)
-    w_all = Window.partitionBy(*group_cols)
-    counted = vals.select(
-        *group_cols,
-        F.col(value_col),
-        F.row_number().over(w_order).alias("_rn"),
-        F.count(F.lit(1)).over(w_all).alias("_n"),
+    spark = df.sparkSession
+    chunks = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    vals = df.filter(F.col(value_col).isNotNull()).select(*group_cols, value_col)
+    ranged = vals.repartitionByRange(
+        chunks, *[F.col(c) for c in group_cols], F.col(value_col)
+    ).withColumn("_chunk", F.spark_partition_id())
+    w_local = Window.partitionBy(*group_cols, "_chunk").orderBy(value_col)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    cnt = ranged.groupBy(*group_cols, "_chunk").agg(F.count(F.lit(1)).alias("_cc"))
+    w_off = Window.partitionBy(*group_cols).orderBy("_chunk")
+    off = cnt.select(
+        *group_cols, "_chunk", (F.sum("_cc").over(w_off) - F.col("_cc")).alias("_coff")
+    )
+    tot = cnt.groupBy(*group_cols).agg(F.sum("_cc").alias("_n"))
+    counted = (
+        local.join(F.broadcast(off), [*group_cols, "_chunk"])
+        .join(F.broadcast(tot), list(group_cols))
+        .withColumn("_rn", F.col("_lrn") + F.col("_coff"))
     )
     rank_of = {q: F.ceil(F.lit(q) * F.col("_n")).cast("long") for q in qs}
     picked = counted.filter(

@@ -200,3 +200,31 @@ def test_kmv_underflow_guard_falls_back_exactly(spark):
     forced = {r["g"]: r["approx_distinct"] for r in
               kmv_distinct(df, "v", ["g"], k=64, prefilter_factor=0.25).collect()}
     assert forced == normal
+
+
+def test_exact_quantiles_chunked_single_giant_group(spark):
+    """One giant group with heavy ties straddling chunk boundaries: the
+    chunked rank layout must return the same quantile VALUES as a
+    local sorted reference (tie-run permutations can't change values),
+    and must spread the group across >1 range chunk."""
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        exact_quantiles,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), (F.col("id") % 101).cast("double").alias("x")
+    )
+    got = exact_quantiles(df, "x", ["g"], qs=(0.5, 0.9, 0.99)).collect()[0]
+    xs = sorted([float(i % 101) for i in range(n)])
+    import math
+
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        assert got[name] == xs[math.ceil(q * n) - 1], name
+    spans = (
+        df.repartitionByRange(8, F.col("g"), F.col("x"))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert spans > 1

@@ -158,3 +158,23 @@ def test_pack_sequences_no_per_source_window(spark):
         # either way _chunk appears. A spec without _chunk would be a
         # whole-source single-task window.
         assert "_chunk" in spec, f"source-only window over full data: {spec}"
+
+
+def test_gap_quantiles_chunked_ranks(spark):
+    # exact_quantiles must rank chunked (VERDICT r2 #3): range
+    # partitioning present, and every window spec carries _chunk (as
+    # partition key for local row_number, as order key for the tiny
+    # offsets window) — never a whole-group single-task sort
+    plan = _plan(entrymod.q_gap_quantiles(spark, SF))
+    assert "rangepartitioning" in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        if spec.startswith(("conv_id", "user_id")):
+            continue  # the transcript-derivation and gap-lag windows key
+            # on user_id/conv_id — millions of keys, naturally parallel;
+            # the scale hazard is only a window keyed by the few-valued
+            # quantile GROUP (role)
+        assert "_chunk" in spec, f"whole-group window: {spec}"
