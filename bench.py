@@ -78,10 +78,17 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
         pipeline_s = sum(per_query[q] for q in PIPELINE_QUERIES if q in per_query)
         total_s = sum(per_query.values())
-        # Saturated throughput: the same full pipeline over the input
-        # replicated x16 (enough rows that per-task overhead amortizes)
-        # — comparable to BASELINE.md's scaling numbers, unlike the
-        # per-query times above, which at sf0.1 are overhead-dominated.
+    finally:
+        spark.stop()
+    # Saturated throughput: the same full pipeline over the input
+    # replicated x16 (enough rows that per-task overhead amortizes)
+    # — comparable to BASELINE.md's scaling numbers, unlike the
+    # per-query times above, which at sf0.1 are overhead-dominated.
+    # Measured in a FRESH session: after 45 queries the old JVM carries
+    # localCheckpoint blocks / cache remnants whose GC pressure
+    # distorted this metric 3x (the r2 "regression" — VERDICT r2 #2).
+    spark = get_spark(app_name=f"bench-sat-local[{cpus}]", cpus=cpus)
+    try:
         sat = _saturated_pipeline(spark, sf_dir, cpus, replicate=16)
         return {
             "metric": "total_query_wall_seconds",
@@ -96,6 +103,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
             "saturated_n_turns": sat["n_turns"],
             "saturated_pipeline_sec": sat["pipeline_sec"],
             "saturated_turns_per_sec": sat["turns_per_sec"],
+            "saturated_pipeline_sec_runs": sat["pipeline_sec_runs"],
         }
     finally:
         spark.stop()
@@ -151,8 +159,14 @@ def _saturated_pipeline(spark, sf_dir: str, cpus: int, replicate: int) -> dict:
         (F.abs(F.hash("conv_id")) % 64).alias("conv_bucket"),
     ).agg(F.count(F.lit(1)).alias("n_turns"), F.round(F.sum("val"), 2).alias("sum_val"))
     agg.write.format("noop").mode("overwrite").save()  # warmup
+    # Best-of-4 with the same interleaved-discipline rationale as the
+    # scaling passes: hypervisor noise swings +-3x across minutes and
+    # only ever ADDS time, so a near-single-sample (r2 used n=2)
+    # misreports — the r1->r2 "34% regression" in this metric was
+    # exactly that (VERDICT r2 #2). The spread is reported so a noisy
+    # pass is visible in the artifact instead of silent.
     times = []
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         agg.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
@@ -162,6 +176,7 @@ def _saturated_pipeline(spark, sf_dir: str, cpus: int, replicate: int) -> dict:
         "n_turns": n_turns,
         "pipeline_sec": round(best, 4),
         "turns_per_sec": round(n_turns / best, 1),
+        "pipeline_sec_runs": [round(t, 4) for t in times],
     }
 
 
