@@ -522,6 +522,50 @@ def q_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apache_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok base-library breadth, oracle-gated end-to-end: construct
+    combined-format access-log lines deterministically from the events
+    table, parse them back with ``%{COMBINEDAPACHELOG}`` (the full
+    public composite — IPORHOST/HTTPDATE/QS/...), and aggregate the
+    PARSED fields. The oracle computes the same aggregates from the
+    ORIGINAL columns (no regex), so any misparse — wrong group order,
+    a pattern that over/under-matches — breaks the value hash."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    ev = load_table(spark, sf_dir, "events")
+    verb = (
+        F.when(F.col("event_type") == "view", "GET")
+        .when(F.col("event_type") == "click", "POST")
+        .when(F.col("event_type") == "purchase", "PUT")
+        .when(F.col("event_type") == "signup", "DELETE")
+        .otherwise("HEAD")
+    )
+    line = F.format_string(
+        '10.%d.%d.%d - user%d [%s +0000] "%s /api/%s HTTP/1.1" %d %d '
+        '"http://ref.example.com/" "bench-agent/1.0"',
+        F.pmod(F.col("user_id"), F.lit(256)),
+        F.pmod(F.col("event_id"), F.lit(256)),
+        F.pmod(F.col("user_id") + F.col("event_id"), F.lit(256)),
+        F.pmod(F.col("user_id"), F.lit(100)),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        verb,
+        F.col("event_type"),
+        (F.lit(200) + F.pmod(F.col("event_id"), F.lit(3)) * 100).cast("int"),
+        F.pmod(F.col("event_id"), F.lit(5000)),
+    )
+    parsed = grok_parse(
+        ev.select(line.alias("text")),
+        "%{COMBINEDAPACHELOG}",
+        types={"response": "int", "bytes": "long"},
+    )
+    return parsed.groupBy("verb", "response").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("bytes").alias("sum_bytes"),
+        F.countDistinct("clientip").alias("n_ips"),
+        F.min("timestamp").alias("first_ts"),
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch: approximate distinct conversations per role, next to
     the exact count so the estimator's accuracy is visible in output."""
@@ -845,6 +889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": q_top_orders,
     "nation_revenue": q_nation_revenue,
     "parse_errors": q_parse_errors,
+    "apache_logs": q_apache_logs,
 }
 
 
@@ -1170,6 +1215,18 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            count(gap_s) AS n_gaps,
            CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant
     FROM gaps GROUP BY conv_id
+    """,
+    "apache_logs": """
+    SELECT CASE event_type WHEN 'view' THEN 'GET' WHEN 'click' THEN 'POST'
+                WHEN 'purchase' THEN 'PUT' WHEN 'signup' THEN 'DELETE'
+                ELSE 'HEAD' END AS verb,
+           CAST(200 + (event_id % 3) * 100 AS INT) AS response,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(event_id % 5000) AS BIGINT) AS sum_bytes,
+           CAST(count(DISTINCT printf('10.%d.%d.%d', user_id % 256,
+                event_id % 256, (user_id + event_id) % 256)) AS BIGINT) AS n_ips,
+           min(strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000') AS first_ts
+    FROM events GROUP BY 1, 2
     """,
     "decontaminate": f"""
 WITH toks AS (
