@@ -75,7 +75,8 @@ def exact_quantiles(
     boundary permutes ranks WITHIN the tie run only, which cannot
     change the value at any rank). The sort is still the honest cost
     of EXACT quantiles — it is just no longer single-threaded per
-    group.
+    group. (Deterministic-input caveat as in distributed_running_sum:
+    the rank and count branches each materialize the range exchange.)
 
     NULL values are excluded (they carry no order), mirroring SQL
     aggregate semantics on both engines.

@@ -128,7 +128,13 @@ def distributed_running_sum(
     4. broadcast the offsets back; global cum = local cum + span offset.
 
     ``order_col`` must be unique within a group (callers use doc_id)
-    for the result to be well-defined. Returns one row per input row:
+    for the result to be well-defined, and the INPUT must be
+    deterministic (file scans are): the local-sum and chunk-total
+    branches each materialize the range exchange (AQE usually reuses
+    one), and range boundaries are a deterministic function of the
+    input — a nondeterministic upstream (e.g. ``df.sample()`` without
+    a seed) could sample different boundaries per branch and misalign
+    offsets. Returns one row per input row:
     (group_col, order_col, _val, out_col)."""
     spark = df.sparkSession
     if chunks is None:
