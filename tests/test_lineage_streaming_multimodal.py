@@ -281,3 +281,108 @@ def test_streaming_crash_midbatch_exactly_once(spark, transcripts, tmp_path):
     assert keys.distinct().count() == keys.count()
     n_sys = transcripts.filter("role = 'system'").count()
     assert got.filter("route = 'sys'").count() == n_sys
+
+
+def test_streaming_windowed_counts_crash_recovery(spark, transcripts, tmp_path):
+    """Stateful counterpart of the fan-out crash test: kill a windowed
+    aggregation mid-micro-batch and restart — the state store must
+    recover window counts that SPAN the crash (rows for one window
+    arriving both before and after), and append mode must emit each
+    finalized window exactly once."""
+    import os
+    import time
+
+    import glob as globmod
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # slices are TIME-ORDERED ranges (arrival order ~ event order, the
+    # realistic log-stream shape): the watermark advances progressively
+    # and boundary windows receive rows from adjacent slices, so window
+    # state accumulates across batches and across the crash. (Slicing
+    # by turn parity instead would let batch 1 advance the watermark to
+    # the global max and correctly drop everything else as late.)
+    from pyspark.sql import Window as W
+
+    sliced = transcripts.drop("tag").withColumn(
+        "_slice", F.ntile(6).over(W.orderBy("ts")) - 1
+    )
+    for i in range(6):
+        staging = str(tmp_path / f"stage{i}")
+        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+            1
+        ).write.parquet(staging)
+        shutil.move(globmod.glob(f"{staging}/part-*.parquet")[0], f"{src}/s{i}.parquet")
+
+    raw = read_transcript_stream(spark, src, max_files_per_trigger=1)
+
+    def sleepy(batches):
+        for b in batches:
+            time.sleep(1.5)
+            yield b
+
+    agg = windowed_counts_stream(
+        raw.mapInPandas(sleepy, schema=raw.schema), window="6 hours", watermark="1 hour"
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    commits = os.path.join(ckpt, "commits")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [
+            f for f in (os.listdir(commits) if os.path.isdir(commits) else [])
+            if not f.endswith(".tmp")
+        ]
+        if len(done) >= 1:
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("no micro-batch committed within deadline")
+    q.stop()  # mid-batch: some windows have partial, uncommitted state
+
+    q2 = (
+        windowed_counts_stream(raw, window="6 hours", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    # exactly-once per finalized window
+    keys = got.select("window_start", "role")
+    assert keys.distinct().count() == keys.count(), "window emitted twice"
+    # append mode emits every window whose end the final watermark
+    # passed; counts must equal the batch ground truth exactly (state
+    # spanning the crash recovered, nothing lost or double-counted)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "6 hours").alias("win"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"), "role",
+            F.col("n_turns").alias("want_n"),
+        )
+    )
+    joined = got.join(batch, ["window_start", "role"], "left")
+    assert joined.filter(F.col("n_turns") != F.col("want_n")).count() == 0
+    # and the emitted set is exactly the finalized prefix of windows
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    final_wm = max_ts - dt.timedelta(hours=1)
+    want_final = batch.filter(
+        (F.col("window_start") + F.expr("INTERVAL 6 HOURS")) <= F.lit(final_wm)
+    )
+    assert got.count() == want_final.count()
