@@ -108,3 +108,92 @@ def test_sessionizer_timeout_closes_sessions(spark, transcripts, tmp_path):
         assert closed >= 3, "idle sessions were not closed by the timeout"
     finally:
         q.stop()
+
+
+def test_sessionizer_crash_recovery(spark, transcripts, tmp_path):
+    """Kill the applyInPandasWithState query mid-micro-batch and
+    restart from the checkpoint: per-conversation state accumulated
+    before the kill must be recovered (not restarted), and the final
+    emissions must equal the batch ground truth. Sink is foreachBatch
+    parquet (at-least-once), so the assert takes each conversation's
+    LAST emission."""
+    import glob as globmod
+    import os
+    import shutil
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for i in range(4):
+        staging = str(tmp_path / f"stage{i}")
+        transcripts.filter(F.col("turn_idx") % 4 == i).coalesce(1).write.parquet(staging)
+        shutil.move(globmod.glob(f"{staging}/part-*.parquet")[0], f"{src}/s{i}.parquet")
+
+    raw = read_transcript_stream(spark, src, max_files_per_trigger=1)
+
+    def sleepy(batches):
+        for b in batches:
+            time.sleep(1.5)
+            yield b
+
+    def sink(batch_df, bid):
+        batch_df.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(out)
+
+    q = (
+        conversation_sessions(raw.mapInPandas(sleepy, schema=raw.schema), gap_ms=None)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    commits = os.path.join(ckpt, "commits")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [
+            f for f in (os.listdir(commits) if os.path.isdir(commits) else [])
+            if not f.endswith(".tmp")
+        ]
+        if len(done) >= 1:
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("no micro-batch committed within deadline")
+    q.stop()  # mid-batch: per-conv state partially advanced, uncommitted
+
+    q2 = (
+        conversation_sessions(raw, gap_ms=None)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180), "restarted query did not drain"
+
+    got = spark.read.parquet(out)
+    got.createOrReplaceTempView("session_emits")
+    final = spark.sql(
+        """
+        SELECT conv_id, n_turns, n_assistant, session_start, session_end
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY conv_id ORDER BY _bid DESC, n_turns DESC) AS rn
+              FROM session_emits)
+        WHERE rn = 1
+        """
+    )
+    want = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias("n_assistant"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    g = {r["conv_id"]: r for r in final.collect()}
+    w = {r["conv_id"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for cid in w:
+        assert g[cid]["n_turns"] == w[cid]["n_turns"], cid
+        assert g[cid]["n_assistant"] == w[cid]["n_assistant"], cid
+        assert g[cid]["session_start"] == w[cid]["session_start"], cid
+        assert g[cid]["session_end"] == w[cid]["session_end"], cid
