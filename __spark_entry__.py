@@ -566,6 +566,19 @@ def q_apache_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document (duplicated
+    token / 2-gram / 3-gram occurrence counts + the boilerplate flag)
+    — the Gopher-style repetition filters. Exact integers at the
+    oracle boundary; flag via integer cross-multiplication."""
+    from fluent_plugin_record_reformer_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch: approximate distinct conversations per role, next to
     the exact count so the estimator's accuracy is visible in output."""
@@ -890,6 +903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_revenue": q_nation_revenue,
     "parse_errors": q_parse_errors,
     "apache_logs": q_apache_logs,
+    "repetition": q_repetition,
 }
 
 
@@ -1215,6 +1229,46 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            count(gap_s) AS n_gaps,
            CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant
     FROM gaps GROUP BY conv_id
+    """,
+    "repetition": """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, 2, unnest([array_to_string(list_slice(t, i, i+1), ' ')
+                                for i in range(1, len(t))]) FROM toks
+      UNION ALL
+      SELECT doc_id, 3, unnest([array_to_string(list_slice(t, i, i+2), ' ')
+                                for i in range(1, len(t)-1)]) FROM toks
+    ), cnt AS (
+      SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+    ), per_n AS (
+      SELECT doc_id, n, sum(c) AS tot,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+      FROM cnt GROUP BY 1, 2
+    ), stats AS (
+      SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN n=1 THEN tot END), 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(CASE WHEN n=1 THEN dup END), 0) AS BIGINT) AS n_dup_tokens,
+             CAST(coalesce(sum(CASE WHEN n=2 THEN tot END), 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(sum(CASE WHEN n=2 THEN dup END), 0) AS BIGINT) AS n_dup_bigrams,
+             CAST(coalesce(sum(CASE WHEN n=3 THEN tot END), 0) AS BIGINT) AS n_trigrams,
+             CAST(coalesce(sum(CASE WHEN n=3 THEN dup END), 0) AS BIGINT) AS n_dup_trigrams
+      FROM per_n GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.n_dup_tokens, 0) AS n_dup_tokens,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.n_dup_bigrams, 0) AS n_dup_bigrams,
+           coalesce(s.n_trigrams, 0) AS n_trigrams,
+           coalesce(s.n_dup_trigrams, 0) AS n_dup_trigrams,
+           (coalesce(s.n_bigrams, 0) > 0
+            AND coalesce(s.n_dup_bigrams, 0) * 100 >= coalesce(s.n_bigrams, 0) * 20)
+             AS repetitive
+    FROM documents d LEFT JOIN stats s USING (doc_id)
     """,
     "apache_logs": """
     SELECT CASE event_type WHEN 'view' THEN 'GET' WHEN 'click' THEN 'POST'

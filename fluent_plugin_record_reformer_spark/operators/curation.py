@@ -245,3 +245,74 @@ def token_budget_mix(
         group_col, order_col, F.col("_val").alias("n_tokens")
     )
     return df.join(kept, [group_col, order_col])
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_bigram_pct: int = 20,
+) -> DataFrame:
+    """Repetition-based quality signals (the classic corpus filters à
+    la Gopher's repetition rules): per document, the duplicated
+    fraction of token occurrences and of word 2-/3-gram occurrences —
+    a document dominated by repeated n-grams is boilerplate/spam.
+
+    All outputs cross the oracle boundary as EXACT integers (totals and
+    duplicated-occurrence counts per n; the ``repetitive`` flag is an
+    integer cross-multiplication ``dup*100 >= tot*pct``), never rounded
+    floats. One scan, ONE tagged explode for all three n (the gram
+    arrays are interpreted-but-cheap expressions, the counting is
+    codegen'd partial aggregation — the dedup.py lesson), then two
+    partial-aggregated groupBys; zero-token docs survive via
+    explode_outer."""
+    from ..functions.text import word_tokens
+
+    def grams(toks: Column, n: int) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        return F.when(F.size(toks) >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    base = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_t"))
+
+    # single-arg closure, NOT `lambda g, n=n`: transform() treats a
+    # two-parameter lambda as (element, index) and would bind the array
+    # INDEX to n, silently mis-tagging every gram
+    def tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.concat(*[F.transform(grams(F.col("_t"), n), tag(n)) for n in (1, 2, 3)])
+    ex = base.select(
+        F.col(id_col), F.explode_outer(tagged).alias("_p")
+    ).select(id_col, F.col("_p.n").alias("_n"), F.col("_p.g").alias("_g"))
+    cnt = ex.groupBy(id_col, "_n", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    per_n = cnt.groupBy(id_col, "_n").agg(
+        F.sum(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0)).alias("_tot"),
+        F.sum(
+            F.when(F.col("_g").isNotNull() & (F.col("_c") > 1), F.col("_c")).otherwise(0)
+        ).alias("_dup"),
+    )
+
+    def pick(n: int, col: str, alias: str) -> Column:
+        return F.coalesce(
+            F.sum(F.when(F.col("_n") == n, F.col(col))), F.lit(0)
+        ).cast("long").alias(alias)
+
+    out = per_n.groupBy(id_col).agg(
+        pick(1, "_tot", "n_tokens"),
+        pick(1, "_dup", "n_dup_tokens"),
+        pick(2, "_tot", "n_bigrams"),
+        pick(2, "_dup", "n_dup_bigrams"),
+        pick(3, "_tot", "n_trigrams"),
+        pick(3, "_dup", "n_dup_trigrams"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("n_bigrams") > 0)
+        & (F.col("n_dup_bigrams") * 100 >= F.col("n_bigrams") * dup_bigram_pct),
+    )

@@ -128,3 +128,32 @@ def test_distributed_running_sum_parallel_per_group(spark):
     got = {(r["doc_id"], r["_cum"]) for r in out.collect()}
     want = {(r["doc_id"], r["_cum"]) for r in naive.collect()}
     assert got == want
+
+
+def test_repetition_stats_known_doc(spark):
+    from fluent_plugin_record_reformer_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    rows = [
+        ("rep", "spam spam spam spam spam"),   # all dup tokens/bigrams
+        ("uniq", "one two three four five"),   # no repetition at all
+        ("short", "hi"),                       # no bigrams/trigrams
+        ("empty", "..."),                      # zero tokens, must survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(got) == {"rep", "uniq", "short", "empty"}
+    r = got["rep"]
+    assert (r["n_tokens"], r["n_dup_tokens"]) == (5, 5)
+    assert (r["n_bigrams"], r["n_dup_bigrams"]) == (4, 4)  # 'spam spam' x4
+    assert (r["n_trigrams"], r["n_dup_trigrams"]) == (3, 3)
+    assert r["repetitive"]
+    u = got["uniq"]
+    assert (u["n_tokens"], u["n_dup_tokens"]) == (5, 0)
+    assert not u["repetitive"]
+    s = got["short"]
+    assert (s["n_tokens"], s["n_bigrams"], s["n_trigrams"]) == (1, 0, 0)
+    assert not s["repetitive"]  # zero bigrams -> never flagged
+    e = got["empty"]
+    assert e["n_tokens"] == 0 and not e["repetitive"]
