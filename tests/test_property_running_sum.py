@@ -1,0 +1,56 @@
+"""Property-based equivalence for the chunked distributed running sum:
+for random (group, order, value) tables and chunk counts, the two-phase
+layout must equal a pure-Python per-group prefix sum — including tie
+values, negative values, single-row groups, and chunk counts larger
+than the data."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fluent_plugin_record_reformer_spark.operators.curation import (  # noqa: E402
+    distributed_running_sum,
+)
+
+row_st = st.tuples(
+    st.sampled_from(["g1", "g2", "g3"]),
+    st.integers(min_value=0, max_value=40),  # order key (deduped below)
+    st.integers(min_value=-5, max_value=9),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(row_st, min_size=1, max_size=30).map(
+        # order key must be unique within a group: keep first occurrence
+        lambda rs: list({(g, o): (g, o, v) for g, o, v in rs}.values())
+    ),
+    chunks=st.sampled_from([1, 2, 3, 7, 64]),
+)
+def test_running_sum_matches_python(spark, rows, chunks):
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = {
+        (r["g"], r["o"]): r["_cum"]
+        for r in distributed_running_sum(
+            df, group_col="g", order_col="o", val=F.col("v"), chunks=chunks
+        ).collect()
+    }
+    want = {}
+    for g in {r[0] for r in rows}:
+        acc = 0
+        for _, o, v in sorted((r for r in rows if r[0] == g), key=lambda r: r[1]):
+            acc += v
+            want[(g, o)] = acc
+    assert got == want
