@@ -178,3 +178,18 @@ def test_gap_quantiles_chunked_ranks(spark):
             # the scale hazard is only a window keyed by the few-valued
             # quantile GROUP (role)
         assert "_chunk" in spec, f"whole-group window: {spec}"
+
+
+def test_ivf_assign_no_vecid_window(spark):
+    # nprobe=1 assignment — inverted-list building AND every k-means
+    # training iteration — must be the partial-aggregating groupBy
+    # argmax, never a window shuffling+sorting the |V|x|C| scored
+    # cross product by vector id (VERDICT r3 #1). Windows keyed by
+    # query_id (probes, final top-k) are fine: the query side is tiny.
+    plan = _plan(entrymod.q_knn_ivf(spark, SF))
+    assert "windowspecdefinition(vec_id" not in plan, (
+        "IVF assignment shuffles+sorts the scored cross product by vec_id"
+    )
+    # trained centroids arrive as a LocalRelation literal: nothing is
+    # persisted (r3 leak) and the broadcast build costs zero scans
+    assert "InMemoryTableScan" not in plan
