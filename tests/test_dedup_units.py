@@ -228,3 +228,28 @@ def test_exact_quantiles_chunked_single_giant_group(spark):
         .count()
     )
     assert spans > 1
+
+
+def test_kmv_construction_is_lazy(spark):
+    """VERDICT r3 #3: kmv_distinct must run ZERO jobs at construction —
+    the exactness guard lives in the lazy plan (broadcast-flagged
+    leftsemi redo branch, unconditional union), not behind an eager
+    driver-side probe that executed the full aggregation once and let
+    the uncached result recompute it on action."""
+    from fluent_plugin_record_reformer_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(5000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("kmv-lazy-probe", "construction must not run jobs")
+    try:
+        out = kmv_distinct(df, "v", ["g"], k=64)
+        jobs = sc.statusTracker().getJobIdsForGroup("kmv-lazy-probe")
+        assert list(jobs) == [], f"construction ran Spark jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+    # and the frame still evaluates correctly afterwards
+    got = {r["g"]: r["approx_distinct"] for r in out.collect()}
+    assert set(got) == {"0", "1"}
