@@ -62,18 +62,26 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         n_turns = transcripts_from_events(load_table(spark, sf_dir, "events")).count()
 
         per_query: dict[str, float] = {}
+        query_runs: dict[str, list[float]] = {}
         for name, fn in queries().items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             got = time.perf_counter() - t0
             if got > 1.5:
-                # hypervisor noise swings ±3x across minutes; a single
-                # cold sample misreports slow queries — re-run once and
-                # keep the min (noise only ever adds time)
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                got = min(got, time.perf_counter() - t0)
+                # hypervisor noise swings ±3x across minutes and only
+                # ever ADDS time; a single cold sample misreports slow
+                # queries. Best-of-3 for anything over the threshold,
+                # with the full spread recorded in the artifact so a
+                # noisy pass is visible instead of silently shipping a
+                # 9s outlier as "the" number (VERDICT r3 #4).
+                runs = [got]
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                got = min(runs)
+                query_runs[name] = [round(t, 4) for t in runs]
             per_query[name] = round(got, 4)
 
         pipeline_s = sum(per_query[q] for q in PIPELINE_QUERIES if q in per_query)
@@ -95,6 +103,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
             "value": round(total_s, 4),
             "unit": "sec",
             "queries": per_query,
+            "query_runs": query_runs,
             "sf": _sf_from_dir(sf_dir),
             "cpus": cpus,
             "n_turns": n_turns,

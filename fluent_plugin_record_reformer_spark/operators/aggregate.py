@@ -55,6 +55,7 @@ def exact_quantiles(
     qs: Sequence[float] = (0.5, 0.9, 0.99),
     *,
     out_prefix: str = "p",
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Exact per-group quantiles as k-th order statistics, fully
     distributed and ENGINE-PORTABLE (unlike ``percentile_approx``,
@@ -75,15 +76,26 @@ def exact_quantiles(
     boundary permutes ranks WITHIN the tie run only, which cannot
     change the value at any rank). The sort is still the honest cost
     of EXACT quantiles — it is just no longer single-threaded per
-    group. (Deterministic-input caveat as in distributed_running_sum:
-    the rank and count branches each materialize the range exchange.)
+    group. (Same hard invariants as distributed_running_sum:
+    deterministic input AND spark.sql.exchange.reuse on — the rank and
+    count branches must share ONE physical range exchange, since the
+    boundary sample is rdd-id-seeded; enforced fail-fast.)
 
     NULL values are excluded (they carry no order), mirroring SQL
     aggregate semantics on both engines.
+
+    ``broadcast_offsets``: the offsets/totals frames are n_groups ×
+    chunks rows; the default pins their broadcast (right for bounded
+    group keys like role). Pass False when group cardinality is
+    unbounded — a forced broadcast of millions of groups would blow
+    the broadcast limit; AQE then sizes the join at runtime.
     """
     from pyspark.sql import Window
 
+    from .curation import _require_exchange_reuse
+
     spark = df.sparkSession
+    _require_exchange_reuse(spark, "exact_quantiles")
     chunks = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     vals = df.filter(F.col(value_col).isNotNull()).select(*group_cols, value_col)
     ranged = vals.repartitionByRange(
@@ -97,9 +109,11 @@ def exact_quantiles(
         *group_cols, "_chunk", (F.sum("_cc").over(w_off) - F.col("_cc")).alias("_coff")
     )
     tot = cnt.groupBy(*group_cols).agg(F.sum("_cc").alias("_n"))
+    if broadcast_offsets:
+        off, tot = F.broadcast(off), F.broadcast(tot)
     counted = (
-        local.join(F.broadcast(off), [*group_cols, "_chunk"])
-        .join(F.broadcast(tot), list(group_cols))
+        local.join(off, [*group_cols, "_chunk"])
+        .join(tot, list(group_cols))
         .withColumn("_rn", F.col("_lrn") + F.col("_coff"))
     )
     rank_of = {q: F.ceil(F.lit(q) * F.col("_n")).cast("long") for q in qs}

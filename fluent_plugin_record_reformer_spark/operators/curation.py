@@ -101,6 +101,23 @@ def decontaminate(
     )
 
 
+def _require_exchange_reuse(spark, op: str) -> None:
+    """Fail fast when ``spark.sql.exchange.reuse`` is off: the chunked
+    two-branch layouts are only correct when both branches physically
+    share ONE range exchange. The range boundary sample is seeded by
+    the rdd id, so independently materialized "identical" exchanges
+    sample different boundaries once per-partition sampling kicks in
+    (always, at scale) and the offsets join silently misaligns."""
+    if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() != "true":
+        raise RuntimeError(
+            f"{op} requires spark.sql.exchange.reuse=true: with reuse "
+            "disabled the local and offsets branches materialize the "
+            "range exchange independently, and its boundary sample is "
+            "rdd-id-seeded — chunk assignments diverge between branches "
+            "and results are silently corrupted"
+        )
+
+
 def distributed_running_sum(
     df: DataFrame,
     *,
@@ -109,6 +126,7 @@ def distributed_running_sum(
     val: Column,
     chunks: int | None = None,
     out_col: str = "_cum",
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Per-group running sum of ``val`` in ``order_col`` order, with
     parallelism n_groups × n_chunks instead of one task per group.
@@ -128,15 +146,30 @@ def distributed_running_sum(
     4. broadcast the offsets back; global cum = local cum + span offset.
 
     ``order_col`` must be unique within a group (callers use doc_id)
-    for the result to be well-defined, and the INPUT must be
-    deterministic (file scans are): the local-sum and chunk-total
-    branches each materialize the range exchange (AQE usually reuses
-    one), and range boundaries are a deterministic function of the
-    input — a nondeterministic upstream (e.g. ``df.sample()`` without
-    a seed) could sample different boundaries per branch and misalign
-    offsets. Returns one row per input row:
-    (group_col, order_col, _val, out_col)."""
+    for the result to be well-defined, the INPUT must be deterministic
+    (file scans are), and ``spark.sql.exchange.reuse`` MUST be on — a
+    hard correctness invariant, enforced with a fail-fast check, not
+    just a speed assumption: the local-sum and chunk-total branches
+    reference the same range exchange, and once the boundary sample
+    actually samples (rows-per-partition > rangeExchange.
+    sampleSizePerPartition — i.e. ALWAYS at scale) its seed is derived
+    from the rdd id, so two independent materializations of "the same"
+    exchange land DIFFERENT chunk boundaries and the offsets join
+    silently misaligns (measured: nondeterministically wrong quantiles
+    with reuse disabled at 4 chunks / 2000 rows). Returns one row per
+    input row: (group_col, order_col, _val, out_col).
+
+    ``broadcast_offsets``: the offsets frame is n_groups × chunks rows
+    — tiny for bounded-cardinality groups (source, role: the
+    pack_sequences / token_budget_mix / exact_quantiles callers), so
+    the default pins the broadcast regardless of stats. Callers whose
+    group key is UNBOUNDED (domain_quota groups by domain) must pass
+    False: a forced broadcast of millions-of-groups × chunks rows
+    would blow the driver/broadcast limit at exactly the scale the
+    chunked layout exists for, and AQE's runtime size check picks
+    broadcast-vs-shuffle correctly there."""
     spark = df.sparkSession
+    _require_exchange_reuse(spark, "distributed_running_sum")
     if chunks is None:
         chunks = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     slim = df.select(F.col(group_col), F.col(order_col), val.alias("_val"))
@@ -154,7 +187,9 @@ def distributed_running_sum(
     )
     w_local = Window.partitionBy(group_col, "_chunk").orderBy(order_col)
     local = ranged.withColumn("_lcum", F.sum("_val").over(w_local))
-    return local.join(F.broadcast(offsets), [group_col, "_chunk"]).select(
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    return local.join(offsets, [group_col, "_chunk"]).select(
         group_col,
         order_col,
         "_val",
@@ -182,6 +217,9 @@ def domain_quota(
         order_col=order_col,
         val=F.lit(1).cast("long"),
         out_col="_qrn",
+        # domain cardinality is unbounded by contract — never force the
+        # offsets broadcast; AQE decides at runtime (ADVICE r3)
+        broadcast_offsets=False,
     )
     kept = rn.filter(F.col("_qrn") <= quota).select(domain_col, order_col)
     return df.join(kept, [domain_col, order_col]).select(*df.columns)

