@@ -566,6 +566,56 @@ def q_apache_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_syslog_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second oracle-gated grok composite (VERDICT r3 #7), mirroring
+    ``apache_logs``' construct-then-parse-back design with the syslog
+    family: build classic-timestamp syslog lines (optional
+    ``<facility.priority>`` section on even event_ids) from the events
+    table, parse with the full-line ``%{SYSLOGLINE}`` composite
+    (SYSLOGBASE2 -> SYSLOGTIMESTAMP|TIMESTAMP_ISO8601 / SYSLOGFACILITY
+    / SYSLOGHOST / SYSLOGPROG / GREEDYDATA), and aggregate the PARSED
+    fields. The oracle recomputes every aggregate from the ORIGINAL
+    columns, so a misparse in any sub-pattern breaks the value hash.
+    ``n_iso`` (count of the ISO8601 alternation branch) must be 0 —
+    proving the classic branch matched, not a lucky fallback."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    ev = load_table(spark, sf_dir, "events")
+    fac = F.when(
+        F.pmod(F.col("event_id"), F.lit(2)) == 0,
+        F.format_string(
+            "<%d.%d> ",
+            F.pmod(F.col("event_id"), F.lit(24)),
+            F.pmod(F.col("event_id"), F.lit(8)),
+        ),
+    ).otherwise("")
+    line = F.format_string(
+        "%s %shost%d svc-%s[%d]: user=%d action=%s",
+        F.date_format("ts", "MMM d HH:mm:ss"),
+        fac,
+        F.pmod(F.col("user_id"), F.lit(50)),
+        F.col("event_type"),
+        (F.pmod(F.col("event_id"), F.lit(30000)) + 1).cast("int"),
+        F.pmod(F.col("user_id"), F.lit(100)),
+        F.col("event_type"),
+    )
+    parsed = grok_parse(
+        ev.select(line.alias("text")),
+        "%{SYSLOGLINE}",
+        types={"pid": "long", "priority": "long"},
+    )
+    return parsed.groupBy("program").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("logsource").alias("n_hosts"),
+        F.countDistinct("message").alias("n_msgs"),
+        F.min("timestamp").alias("first_ts"),
+        F.sum("pid").alias("sum_pid"),
+        F.count("facility").alias("n_fac"),
+        F.sum("priority").alias("sum_prio"),
+        F.count("timestamp8601").alias("n_iso"),
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals per document (duplicated
     token / 2-gram / 3-gram occurrence counts + the boilerplate flag)
@@ -903,6 +953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_revenue": q_nation_revenue,
     "parse_errors": q_parse_errors,
     "apache_logs": q_apache_logs,
+    "syslog_logs": q_syslog_logs,
     "repetition": q_repetition,
 }
 
@@ -1281,6 +1332,20 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
                 event_id % 256, (user_id + event_id) % 256)) AS BIGINT) AS n_ips,
            min(strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000') AS first_ts
     FROM events GROUP BY 1, 2
+    """,
+    "syslog_logs": """
+    SELECT 'svc-' || event_type AS program,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT user_id % 50) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT user_id % 100) AS BIGINT) AS n_msgs,
+           min(strftime(ts, '%b %-d %H:%M:%S')) AS first_ts,
+           CAST(sum(event_id % 30000 + 1) AS BIGINT) AS sum_pid,
+           CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fac,
+           CAST(sum(CASE WHEN event_id % 2 = 0 THEN event_id % 8 END) AS BIGINT)
+             AS sum_prio,
+           CAST(0 AS BIGINT) AS n_iso
+    FROM events GROUP BY 1
     """,
     "decontaminate": f"""
 WITH toks AS (

@@ -80,13 +80,33 @@ GROK_PATTERNS: dict[str, str] = {
     "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
     "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
     "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    # HTTPDUSER per the upstream base library (ADVICE r3): ident/auth
+    # can be an email address (htpasswd realms) — plain %{USER} would
+    # fail the alternation and dump the line into rawrequest.
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
     "COMMONAPACHELOG": (
-        r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
+        r"%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} "
         r"\[%{HTTPDATE:timestamp}\] "
         r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?'
         r'|%{DATA:rawrequest})" %{NUMBER:response} (?:%{NUMBER:bytes}|-)'
     ),
     "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    # -- tail of the public base set (VERDICT r3 #7) --
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "ISO8601_SECOND": r"%{SECOND}",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE": r"(?:%{DATE_US}|%{DATE_EU})",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    # full-line syslog composites (linux-syslog pattern file shape):
+    # SYSLOGBASE2 admits either the classic or ISO8601 timestamp
+    "SYSLOGBASE2": (
+        r"(?:%{SYSLOGTIMESTAMP:timestamp}|%{TIMESTAMP_ISO8601:timestamp8601}) "
+        r"(?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:"
+    ),
+    "SYSLOGLINE": r"%{SYSLOGBASE2} %{GREEDYDATA:message}",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")

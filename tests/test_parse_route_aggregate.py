@@ -322,3 +322,59 @@ def test_values_dim_hostile_literals(spark):
     ).collect()[0]
     assert d["d"] == dt.date(2024, 3, 1)
     assert d["t"] == dt.datetime(2024, 3, 1, 12, 30, 0)
+
+
+def test_grok_tail_patterns():
+    """VERDICT r3 #7 tail of the public base set: the new patterns
+    compile and match/reject their canonical shapes as plain regex."""
+    import re
+
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_to_regex
+
+    cases = {
+        "%{DATESTAMP}": (["12/31/2024 23:59:59", "31.12.2024 23:59"], ["2024/31/12"]),
+        "%{HOSTPORT}": (["db01.internal:5432", "10.0.0.1:80"], ["db01.internal:"]),
+        "%{ISO8601_TIMEZONE}": (["Z", "+05:30", "-0800"], ["+5"]),
+        "%{HTTPDUSER}": (["frank", "frank@example.com"], ["@", ""]),
+        "%{BASE10NUM}": (["-3.5", ".5", "42"], ["."]),
+    }
+    for grok, (good, bad) in cases.items():
+        rx, _ = grok_to_regex(grok)
+        full = re.compile(rx + r"\Z")
+        for s in good:
+            assert full.match(s), f"{grok} should match {s!r}"
+        for s in bad:
+            assert not full.match(s), f"{grok} should reject {s!r}"
+
+
+def test_grok_httpduser_email_auth(spark):
+    """ADVICE r3: an access-log line whose auth is an email address
+    must parse through the verb/request branch, not fall into
+    rawrequest (the upstream HTTPDUSER = EMAILADDRESS|USER)."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    line = (
+        '10.1.2.3 - frank@example.com [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326'
+    )
+    df = spark.createDataFrame([(line,)], "text string")
+    row = grok_parse(df, "%{COMMONAPACHELOG}").collect()[0]
+    assert row["auth"] == "frank@example.com"
+    assert row["verb"] == "GET" and row["request"] == "/apache_pb.gif"
+    assert row["rawrequest"] is None
+
+
+def test_grok_syslogline_both_timestamp_branches(spark):
+    """%{SYSLOGLINE} admits classic and ISO8601 timestamps; exactly
+    one of timestamp/timestamp8601 fills per line."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    classic = "Feb  9 13:55:36 web01 sshd[4123]: Accepted publickey for root"
+    iso = "2024-02-09T13:55:36Z web01 sshd[4123]: session opened"
+    df = spark.createDataFrame([(classic,), (iso,)], "text string")
+    rows = {r["message"]: r for r in grok_parse(df, "%{SYSLOGLINE}").collect()}
+    c = rows["Accepted publickey for root"]
+    assert c["timestamp"] == "Feb  9 13:55:36" and c["timestamp8601"] is None
+    assert c["logsource"] == "web01" and c["program"] == "sshd" and c["pid"] == "4123"
+    i = rows["session opened"]
+    assert i["timestamp"] is None and i["timestamp8601"] == "2024-02-09T13:55:36Z"
