@@ -293,6 +293,7 @@ def dup_clusters(
     max_iters: int = 30,
     stats: dict | None = None,
     label_salt: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the component's minimum doc id (the keeper).
@@ -323,21 +324,41 @@ def dup_clusters(
     reducer at 1/S of the component for an S-fold replication of the
     skinny (v, label) pairs. Default 1 (off): AQE's skew-join split
     handles moderate skew; raise it for known mega-component inputs.
+
+    ``checkpoint_dir``: when given, per-round lineage truncation uses
+    RELIABLE ``checkpoint()`` into that directory (shared storage on a
+    cluster — survives executor loss mid-iteration) instead of the
+    default ``localCheckpoint()`` (executor-local blocks; fine in
+    local mode, lost with an executor on a real cluster).
     """
     edges = pairs.select(
         F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
     ).union(pairs.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")))
-    # localCheckpoint (NOT just persist): the pointer-jumping self-join
+
+    # Checkpoint (NOT just persist): the pointer-jumping self-join
     # references the previous labels twice, so without truncating the
     # LOGICAL plan each round its size doubles per round and the
     # driver-side analysis blows up exponentially (observed: round 4
-    # hung); persist caches data but not planning. On a real cluster
-    # use reliable checkpoint() — localCheckpoint blocks die with
-    # executors.
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    # hung); persist caches data but not planning. Default is
+    # localCheckpoint (fast, executor-local blocks — fine in local
+    # mode); pass ``checkpoint_dir`` on a real cluster for RELIABLE
+    # checkpointing to shared storage, where an executor loss
+    # mid-iteration cannot lose blocks (VERDICT r3 #9).
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    edges = _ckpt(edges)
+    labels = _ckpt(
         edges.select(F.col("_src").alias("_v")).distinct().withColumn("_lbl", F.col("_v"))
-    ).localCheckpoint(eager=True)
+    )
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
@@ -372,14 +393,13 @@ def dup_clusters(
         else:
             probe = stepped
             jumped = probe.join(parent, probe["_lbl"] == parent["_p"], "left")
-        new_labels = (
+        new_labels = _ckpt(
             jumped.select(
                 probe["_v"],
                 F.least(
                     probe["_lbl"], F.coalesce(F.col("_plbl"), probe["_lbl"])
                 ).alias("_lbl"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

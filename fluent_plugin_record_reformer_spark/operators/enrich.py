@@ -37,12 +37,26 @@ def values_dim(spark: SparkSession, rows: Sequence[tuple], colspec: str) -> Data
     partition just to ship a handful of rows. A SQL ``VALUES`` literal
     stays entirely JVM-side (LocalRelation: zero tasks, zero Python)."""
 
+    # With spark.sql.parser.escapedStringLiterals=true the lexer keeps
+    # BOTH chars of \' and of '' in the value (probed on Spark 4), so
+    # no escaping scheme can express an arbitrary string as a plain
+    # raw-mode literal — backslash doubling would corrupt values and
+    # quote-doubling yields two quotes (ADVICE r3). In that mode emit
+    # strings as CAST(unhex('<utf8-hex>') AS STRING): pure hex digits,
+    # zero escaping surface, still a foldable JVM-side expression.
+    raw_literals = (
+        str(
+            spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        ).lower()
+        == "true"
+    )
+
     def lit(v: object) -> str:
         # Typed whitelist, never repr: a repr'd arbitrary object would
         # interpolate unescaped text straight into SQL. Strings escape
         # BACKSLASH before quote-doubling — Spark processes backslash
-        # escapes in literals, so a trailing '\' would otherwise eat
-        # the closing quote (injection).
+        # escapes in literals (default mode), so a trailing '\' would
+        # otherwise eat the closing quote (injection).
         import datetime as _dt
         import math as _math
 
@@ -51,6 +65,8 @@ def values_dim(spark: SparkSession, rows: Sequence[tuple], colspec: str) -> Data
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
+            if raw_literals:
+                return f"CAST(unhex('{v.encode('utf-8').hex().upper()}') AS STRING)"
             return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         if isinstance(v, int):
             return str(v)

@@ -26,6 +26,16 @@ already exists". The route column of the fan-out maps to a hidden
 partition of ONE sink table (single-pass write); per-route TABLES are
 the alternative shape (one transactional append per route,
 :func:`write_fanout_tables` in operators/route.py).
+
+Jar-vendoring attempt (VERDICT r3 #6, 2026-08-17): fetching
+``iceberg-spark-runtime`` for a real in-sandbox run was attempted and
+is impossible here — the sandbox has no outbound network (``curl
+https://repo1.maven.org/maven2/...`` fails with exit 6 / could not
+resolve host; no ivy/m2 cache, no iceberg jar anywhere on disk), so
+``spark.jars.packages`` cannot resolve either. The env-gated
+test_catalog.py paths (create/append/race) therefore remain
+intercepted-writer tests; the first real ``append()`` against a live
+Iceberg runtime is untested in this environment.
 """
 
 from __future__ import annotations
@@ -38,11 +48,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _error_class(exc: Exception) -> str:
+    """Spark's stable error-class identifier (``getCondition`` in 4.x,
+    ``getErrorClass`` before), '' when unavailable — the STRUCTURAL
+    signal, immune to message-format drift across versions."""
+    for meth in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, meth, None)
+        if callable(fn):
+            try:
+                got = fn()
+            except Exception:
+                continue
+            if got:
+                return str(got)
+    return ""
+
+
+def _java_exception_classes(exc: Exception) -> list[str]:
+    """Fully-qualified class names of the captured JVM exception and
+    its cause chain ('' -safe): lets us match Iceberg's
+    NoSuchTableException / AlreadyExistsException by CLASS, not by
+    message substring."""
+    names: list[str] = []
+    je = getattr(exc, "java_exception", None)
+    try:
+        seen = 0
+        while je is not None and seen < 8:
+            names.append(je.getClass().getName())
+            je = je.getCause()
+            seen += 1
+    except Exception:
+        pass
+    return names
+
+
 def _is_missing_table_error(exc: Exception) -> bool:
-    """True only for the missing-table family: Spark's
-    TABLE_OR_VIEW_NOT_FOUND error class / AnalysisException message, or
-    Iceberg's NoSuchTableException. Anything else (schema mismatch,
-    auth, connectivity) is a real append failure and must propagate."""
+    """True only for the missing-table family. Structural checks first
+    (Spark error class TABLE_OR_VIEW_NOT_FOUND; Iceberg/connector
+    NoSuchTableException in the JVM cause chain) with the message
+    substrings as a last-resort fallback — messages vary across
+    Spark/Iceberg versions (ADVICE r3). Anything else (schema
+    mismatch, auth, connectivity) is a real append failure and must
+    propagate."""
+    if _error_class(exc) == "TABLE_OR_VIEW_NOT_FOUND":
+        return True
+    if any(n.endswith("NoSuchTableException") for n in _java_exception_classes(exc)):
+        return True
     s = str(exc)
     return (
         "TABLE_OR_VIEW_NOT_FOUND" in s
@@ -50,6 +101,19 @@ def _is_missing_table_error(exc: Exception) -> bool:
         or "Table or view not found" in s
         or "table or view cannot be found" in s.lower()
     )
+
+
+def _is_already_exists_error(exc: Exception) -> bool:
+    """True only for the table-already-exists family (lost a
+    concurrent create race): structural first, substring fallback."""
+    if _error_class(exc) in (
+        "TABLE_OR_VIEW_ALREADY_EXISTS",
+        "TABLE_ALREADY_EXISTS",
+    ):
+        return True
+    if any(n.endswith("AlreadyExistsException") for n in _java_exception_classes(exc)):
+        return True
+    return "already exists" in str(exc).lower()
 
 
 @dataclass(frozen=True)
@@ -126,7 +190,7 @@ class IcebergCatalog:
             try:
                 writer.create()
             except Exception as create_exc:  # lost a concurrent create race
-                if "already exists" not in str(create_exc).lower():
+                if not _is_already_exists_error(create_exc):
                     raise
                 df.writeTo(self.ident(name)).append()
 

@@ -253,3 +253,27 @@ def test_kmv_construction_is_lazy(spark):
     # and the frame still evaluates correctly afterwards
     got = {r["g"]: r["approx_distinct"] for r in out.collect()}
     assert set(got) == {"0", "1"}
+
+
+def test_dup_clusters_reliable_checkpoint_dir(spark, tmp_path):
+    """VERDICT r3 #9: with checkpoint_dir the per-round truncation
+    uses reliable checkpoint() into that directory (cluster-safe) and
+    labels are identical to the localCheckpoint default."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)],
+        "id_a long, id_b long",
+    )
+    base = {
+        (r["doc_id"], r["cluster_id"]) for r in dup_clusters(pairs).collect()
+    }
+    ckdir = str(tmp_path / "cc-ckpt")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert got == base
+    import os
+
+    assert any(os.scandir(ckdir)), "no reliable checkpoint files written"

@@ -378,3 +378,25 @@ def test_grok_syslogline_both_timestamp_branches(spark):
     assert c["logsource"] == "web01" and c["program"] == "sshd" and c["pid"] == "4123"
     i = rows["session opened"]
     assert i["timestamp"] is None and i["timestamp8601"] == "2024-02-09T13:55:36Z"
+
+
+def test_values_dim_escaped_string_literals_conf(spark):
+    """ADVICE r3: under spark.sql.parser.escapedStringLiterals=true the
+    lexer keeps both chars of \\' and of '' in the value, so plain
+    literals cannot express arbitrary strings; values_dim switches to
+    unhex()-encoded strings there. The hostile set must round-trip
+    identically in BOTH modes."""
+    from fluent_plugin_record_reformer_spark.operators.enrich import values_dim
+
+    hostile = [("trailing\\", 1), ("it's", 2), ("a\\'b", 3), ("q''d", 4)]
+    want = {"trailing\\": 1, "it's": 2, "a\\'b": 3, "q''d": 4}
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got = {r["k"]: r["n"] for r in
+               values_dim(spark, hostile, "k string, n int").collect()}
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    assert got == want
+    got_default = {r["k"]: r["n"] for r in
+                   values_dim(spark, hostile, "k string, n int").collect()}
+    assert got_default == want
