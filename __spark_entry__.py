@@ -557,6 +557,10 @@ def q_apache_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(line.alias("text")),
         "%{COMBINEDAPACHELOG}",
         types={"response": "int", "bytes": "long"},
+        # 10 fields: single-pass evaluates the composite regex once per
+        # row instead of 10x (the wide-pattern scale path; parity incl.
+        # no-match lines pinned in test_single_pass_parity_*)
+        single_pass=True,
     )
     return parsed.groupBy("verb", "response").agg(
         F.count(F.lit(1)).alias("n_requests"),
@@ -603,6 +607,7 @@ def q_syslog_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(line.alias("text")),
         "%{SYSLOGLINE}",
         types={"pid": "long", "priority": "long"},
+        single_pass=True,  # 8 fields -> one regex pass per row
     )
     return parsed.groupBy("program").agg(
         F.count(F.lit(1)).alias("n_lines"),

@@ -276,7 +276,11 @@ def run_scaling_worker(cpus: int, sf_dir: str, replicate: int) -> dict:
         for _ in range(2):  # codegen/JIT warmup to steady state
             agg.write.format("noop").mode("overwrite").save()
         times = []
-        for _ in range(3):
+        # SPARK_GRAFT_SCALING_RUNS: timed runs per level. Hypervisor
+        # spikes can triple a single run (observed 16.8s on a 5.6s-class
+        # job); more runs per JVM raise the chance the best run lands in
+        # a clean window. Spread is reported either way.
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))):
             t0 = time.perf_counter()
             agg.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)

@@ -176,18 +176,45 @@ def regex_parse(
     fields: Optional[Sequence[str]] = None,
     types: Optional[dict[str, str]] = None,
     drop_source: bool = False,
+    single_pass: bool = False,
+    single_pass_sep: str = "\x01",
 ) -> DataFrame:
     """Extract capture groups of ``pattern`` into columns, JVM-side.
 
     ``fields`` names the capture groups in order; with Python named
     groups ``(?P<name>...)`` names are inferred. ``types`` optionally
     casts fields (try_cast — parse failures null, never error).
+
+    Default path: one ``regexp_extract`` per field — K full regex
+    evaluations per row. ``single_pass=True`` evaluates the regex ONCE
+    per row: a ``regexp_replace`` anchored as ``\\A[\\s\\S]*?(?:pat)
+    [\\s\\S]*\\z`` (leftmost match, same as extract's find; no inline
+    flags, so the pattern's own ``.`` semantics are untouched)
+    rewrites the line into all K groups joined by ``single_pass_sep``,
+    then one ``split`` + K ``element_at`` — a K-fold cut of the parse
+    stage for wide patterns (COMBINEDAPACHELOG is 10 fields). At 100
+    TB the parse stage dominates the pipeline, so this is the scale
+    path for wide grok composites.
+
+    ``single_pass`` is OPT-IN because it is not bit-equivalent on two
+    pathological inputs: (a) a matched field that itself contains
+    ``single_pass_sep`` (default ``\\x01``, not produced by printable
+    log pipelines) mis-splits and the row nulls out; (b) a NON-matching
+    line that happens to contain exactly K-1 separator bytes yields
+    garbage fields instead of nulls. Pick a separator that cannot
+    occur in the data; everywhere else the two paths agree (pinned by
+    tests incl. no-match and unmatched-optional-group lines).
     """
     if fields is None:
         fields = list(re.compile(pattern).groupindex.keys())
         if not fields:
             raise ValueError("pattern has no named groups and no `fields` given")
     java_pattern = pattern.replace("(?P<", "(?<")
+    if single_pass and len(fields) > 1:
+        return _regex_parse_single_pass(
+            df, java_pattern, source_col, fields, types, drop_source,
+            sep=single_pass_sep,
+        )
     cols: dict[str, Column] = {}
     for i, name in enumerate(fields, start=1):
         col = F.regexp_extract(F.col(source_col), java_pattern, i)
@@ -201,6 +228,42 @@ def regex_parse(
     return out.drop(source_col) if drop_source else out
 
 
+def _regex_parse_single_pass(
+    df: DataFrame,
+    java_pattern: str,
+    source_col: str,
+    fields: Sequence[str],
+    types: Optional[dict[str, str]],
+    drop_source: bool,
+    *,
+    sep: str,
+) -> DataFrame:
+    """One regex evaluation per row: anchored regexp_replace rewrites
+    the whole line into ``$1<sep>$2<sep>...$K``; a non-matching line
+    comes back UNCHANGED, detected as split-size != K (all fields
+    null). Each stage is its own projection (joined, parts, fields) —
+    the CollapseProject staging discipline that keeps the non-cheap
+    regexp_replace/split evaluated once, not inlined K times."""
+    k = len(fields)
+    wrapped = r"\A[\s\S]*?(?:" + java_pattern + r")[\s\S]*\z"
+    template = sep.join(f"${i}" for i in range(1, k + 1))
+    joined = df.withColumn(
+        "_sp_joined", F.regexp_replace(F.col(source_col), wrapped, template)
+    )
+    parts = joined.withColumn("_sp_parts", F.split(F.col("_sp_joined"), re.escape(sep), -1))
+    matched = F.size(F.col("_sp_parts")) == k
+    cols: dict[str, Column] = {}
+    for i, name in enumerate(fields, start=1):
+        col = F.when(matched, F.element_at(F.col("_sp_parts"), i))
+        # "" -> null, same normalization as the per-field extract path
+        col = F.when(col == "", F.lit(None)).otherwise(col)
+        if types and name in types:
+            col = col.try_cast(types[name])
+        cols[name] = col
+    out = parts.withColumns(cols).drop("_sp_joined", "_sp_parts")
+    return out.drop(source_col) if drop_source else out
+
+
 def grok_parse(
     df: DataFrame,
     grok: str,
@@ -208,11 +271,18 @@ def grok_parse(
     types: Optional[dict[str, str]] = None,
     drop_source: bool = False,
     pattern_definitions: Optional[dict[str, str]] = None,
+    single_pass: bool = False,
 ) -> DataFrame:
-    """Grok-syntax front end over :func:`regex_parse`."""
+    """Grok-syntax front end over :func:`regex_parse`. Grok-generated
+    regexes contain ONLY the K named field groups as capture groups
+    (everything else compiles non-capturing), so the fields<->group
+    numbering contract of ``single_pass`` always holds here — pass
+    ``single_pass=True`` for wide composites (see regex_parse for the
+    separator caveat)."""
     pattern, fields = grok_to_regex(grok, pattern_definitions)
     return regex_parse(
-        df, pattern, source_col=source_col, fields=fields, types=types, drop_source=drop_source
+        df, pattern, source_col=source_col, fields=fields, types=types,
+        drop_source=drop_source, single_pass=single_pass,
     )
 
 

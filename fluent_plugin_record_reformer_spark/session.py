@@ -31,7 +31,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) * 2, 8)
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
-    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    # ParallelGC over the G1 default: this engine's hot path is
+    # string-heavy batch work (grok regex extraction, template
+    # concat), where throughput-oriented ParallelGC A/B-measured
+    # 13-18% faster WALL time at BOTH 2 and 8 pinned cores
+    # (scaling job, 6.4M turns: lo 16.7->14.8s, hi 7.0->5.97s).
+    # Latency-friendly G1 buys nothing in a batch engine. Override
+    # via SPARK_GRAFT_JAVA_OPTS.
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC")
     builder = SparkSession.builder
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)

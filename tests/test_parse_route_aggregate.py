@@ -400,3 +400,41 @@ def test_values_dim_escaped_string_literals_conf(spark):
     got_default = {r["k"]: r["n"] for r in
                    values_dim(spark, hostile, "k string, n int").collect()}
     assert got_default == want
+
+
+def test_single_pass_parity_with_multi_extract(spark):
+    """single_pass=True must agree with the per-field extract path on
+    matching lines, NON-matching lines (all null), lines with
+    unmatched optional groups, and empty trailing groups."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    lines = [
+        ('10.1.2.3 - frank [10/Oct/2000:13:55:36 -0700] '
+         '"GET /a.gif HTTP/1.0" 200 2326 "http://r/" "ua/1.0"',),
+        ("total garbage, no log line here",),
+        # rawrequest branch: verb/request/httpversion unmatched
+        ('10.9.9.9 - - [10/Oct/2000:13:55:36 -0700] "-" 400 - "-" "-"',),
+        (None,),
+    ]
+    df = spark.createDataFrame(lines, "text string")
+    slow = grok_parse(df, "%{COMBINEDAPACHELOG}").collect()
+    fast = grok_parse(df, "%{COMBINEDAPACHELOG}", single_pass=True).collect()
+    for a, b in zip(slow, fast):
+        assert a.asDict() == b.asDict(), (a, b)
+
+
+def test_single_pass_typed_casts_and_dot_semantics(spark):
+    """Types cast identically, and the anchor wrapper must NOT turn on
+    dotall for the user pattern — DATA/GREEDYDATA still stop at
+    newlines exactly like the extract path."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    df = spark.createDataFrame(
+        [("a=1 b=x\nnextline",), ("a=7 b=yz",)], "text string"
+    )
+    g = "a=%{INT:a} b=%{GREEDYDATA:b}"
+    slow = grok_parse(df, g, types={"a": "int"}).collect()
+    fast = grok_parse(df, g, types={"a": "int"}, single_pass=True).collect()
+    for a, b in zip(slow, fast):
+        assert a.asDict() == b.asDict(), (a, b)
+    assert slow[0]["b"] == "x"  # newline not crossed
