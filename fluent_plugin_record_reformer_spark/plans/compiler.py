@@ -125,17 +125,27 @@ class ReformContext:
             i = index % n
             joined = ".".join(parts[: i + 1] if kind == "prefix" else parts[i:])
             return F.lit(joined)
-        arr = self.tag_parts_expr()
-        n = F.size(arr)
+        # ONE codegen'd substring_index instead of materializing the
+        # whole affix array per row (transform over sequence, each
+        # element an array_join of a slice — O(n^2) interpreted work
+        # in the pipeline's hottest expression; stage-decomposed A/B
+        # showed reform dominating the e2e wall time because of it):
+        # prefix[i] = first c parts (positive count), suffix[i] = last
+        # m parts (negative count), with the element count n derived
+        # from the dot count — all plain string expressions inside
+        # whole-stage codegen. Out-of-range indexes null exactly like
+        # try_element_at did.
+        tag = _quoted(self.tag_col)
+        n = F.length(tag) - F.length(F.translate(tag, ".", "")) + F.lit(1)
         if kind == "prefix":
-            affixes = F.transform(
-                F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(arr, F.lit(1), i), ".")
-            )
+            c = F.lit(index + 1) if index >= 0 else (n + F.lit(index + 1))
+            valid = (c >= 1) & (c <= n)
+            cnt = c
         else:
-            affixes = F.transform(
-                F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(arr, i, n - i + 1), ".")
-            )
-        return F.try_element_at(affixes, F.lit(index + 1 if index >= 0 else index))
+            m = (n - F.lit(index)) if index >= 0 else F.lit(-index)
+            valid = (m >= 1) & (m <= n)
+            cnt = -m
+        return F.when(valid, F.call_function("substring_index", tag, F.lit("."), cnt))
 
 
 def token_column(
