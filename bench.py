@@ -273,7 +273,12 @@ def run_scaling_worker(cpus: int, sf_dir: str, replicate: int) -> dict:
             F.round(F.sum("val"), 2).alias("sum_val"),
         )
 
-        for _ in range(2):  # codegen/JIT warmup to steady state
+        # codegen/JIT warmup to steady state: with the affix fix the
+        # whole pipeline is codegen'd and C2 tiers kick in late — 2
+        # warmups left the first timed runs 2-7x slower than steady
+        # (observed monotone [19.6, 5.4, 4.6, 2.6] timed series), so
+        # a short-run level could ship a still-cold best. Default 4.
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_WARMUPS", "4"))):
             agg.write.format("noop").mode("overwrite").save()
         times = []
         # SPARK_GRAFT_SCALING_RUNS: timed runs per level. Hypervisor

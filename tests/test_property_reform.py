@@ -56,7 +56,11 @@ def spec_st(draw):
     return {
         "tag": draw(
             st.one_of(
-                st.just("out.${tag}"), st.just("${tag_parts[0]}.done"), template_st
+                st.just("out.${tag}"),
+                st.just("${tag_parts[0]}.done"),
+                # an empty tag template is a SPEC error by contract
+                # (core.rb:61-63) — not a reform-equivalence case
+                template_st.filter(lambda s: s != ""),
             )
         ),
         "record": draw(
