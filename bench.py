@@ -167,7 +167,11 @@ def _saturated_pipeline(spark, sf_dir: str, cpus: int, replicate: int) -> dict:
         F.hour("ts").cast("int").alias("hour"),
         (F.abs(F.hash("conv_id")) % 64).alias("conv_bucket"),
     ).agg(F.count(F.lit(1)).alias("n_turns"), F.round(F.sum("val"), 2).alias("sum_val"))
-    agg.write.format("noop").mode("overwrite").save()  # warmup
+    # same deep-warmup discipline as --scaling: the fully-codegen'd
+    # pipeline reaches C2 steady state late, and a cold first timed
+    # run would misreport (observed 2-7x)
+    for _ in range(3):
+        agg.write.format("noop").mode("overwrite").save()
     # Best-of-4 with the same interleaved-discipline rationale as the
     # scaling passes: hypervisor noise swings +-3x across minutes and
     # only ever ADDS time, so a near-single-sample (r2 used n=2)

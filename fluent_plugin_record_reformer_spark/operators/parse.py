@@ -107,6 +107,23 @@ GROK_PATTERNS: dict[str, str] = {
         r"(?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:"
     ),
     "SYSLOGLINE": r"%{SYSLOGBASE2} %{GREEDYDATA:message}",
+    # RFC5424 structured syslog (the upstream base set's other full-line
+    # composite; alternations are written non-capturing — a bare
+    # capture group would shift the fields<->group numbering contract,
+    # which grok_to_regex now asserts):
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    "SYSLOG5424PRI": r"<%{NONNEGINT:syslog5424_pri}>",
+    "SYSLOG5424SD": r"(?:\[%{DATA}\])+|-",
+    "SYSLOG5424BASE": (
+        r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver} +"
+        r"(?:%{TIMESTAMP_ISO8601:syslog5424_ts}|-) +"
+        r"(?:%{IPORHOST:syslog5424_host}|-) +"
+        r"(?:-|%{SYSLOG5424PRINTASCII:syslog5424_app}) +"
+        r"(?:-|%{SYSLOG5424PRINTASCII:syslog5424_proc}) +"
+        r"(?:-|%{SYSLOG5424PRINTASCII:syslog5424_msgid}) +"
+        r"%{SYSLOG5424SD:syslog5424_sd}"
+    ),
+    "SYSLOG5424LINE": r"%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
@@ -166,7 +183,19 @@ def grok_to_regex(
             return f"({resolve(pat, ())})"
         return f"(?:{resolve(pat, ())})"
 
-    return _GROK_REF.sub(_sub, grok), fields
+    rx = _GROK_REF.sub(_sub, grok)
+    # Invariant both extract paths rely on: field i <-> capture group i.
+    # It holds iff the ONLY capture groups are the named-field parens we
+    # emit — a bare `(...)` smuggled in via a pattern body or
+    # pattern_definitions would silently shift every later field.
+    n_groups = re.compile(rx).groups
+    if n_groups != len(fields):
+        raise ValueError(
+            f"grok expression compiles to {n_groups} capture groups for "
+            f"{len(fields)} named fields — a pattern body contains a bare "
+            "capture group; write it non-capturing `(?:...)`"
+        )
+    return rx, fields
 
 
 def regex_parse(

@@ -438,3 +438,46 @@ def test_single_pass_typed_casts_and_dot_semantics(spark):
     for a, b in zip(slow, fast):
         assert a.asDict() == b.asDict(), (a, b)
     assert slow[0]["b"] == "x"  # newline not crossed
+
+
+def test_grok_syslog5424(spark):
+    """RFC5424 structured-syslog composite: pri/ver/ts/host/app/proc/
+    msgid/sd/msg all extract; nil ('-') fields null out; works on both
+    extract paths."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    lines = [
+        ('<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog '
+         '- ID47 [exampleSDID@32473 iut="3" eventSource="Application"] '
+         'An application event log entry',),
+        ("<34>1 - - su - - - 'su root' failed for user1",),
+    ]
+    df = spark.createDataFrame(lines, "text string")
+    for sp in (False, True):
+        rows = grok_parse(df, "%{SYSLOG5424LINE}", single_pass=sp).collect()
+        full = next(r for r in rows if r["syslog5424_pri"] == "165")
+        assert full["syslog5424_ver"] == "1"
+        assert full["syslog5424_ts"] == "2003-10-11T22:14:15.003Z"
+        assert full["syslog5424_host"] == "mymachine.example.com"
+        assert full["syslog5424_app"] == "evntslog"
+        assert full["syslog5424_proc"] is None and full["syslog5424_msgid"] == "ID47"
+        assert full["syslog5424_sd"].startswith("[exampleSDID@32473")
+        assert full["syslog5424_msg"] == "An application event log entry"
+        nil = next(r for r in rows if r["syslog5424_pri"] == "34")
+        assert nil["syslog5424_ts"] is None and nil["syslog5424_host"] is None
+        assert nil["syslog5424_app"] == "su" and nil["syslog5424_sd"] == "-"
+        assert nil["syslog5424_msg"] == "'su root' failed for user1"
+
+
+def test_grok_bare_capture_group_rejected():
+    """The fields<->group-number contract is asserted: a bare capture
+    group smuggled in via pattern_definitions raises instead of
+    silently shifting every later field."""
+    import pytest as _pytest
+
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_to_regex
+
+    with _pytest.raises(ValueError, match="bare\\s+capture group"):
+        grok_to_regex(
+            "%{BAD:x} %{INT:n}", pattern_definitions={"BAD": r"(a|b)c"}
+        )
