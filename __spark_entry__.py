@@ -621,6 +621,52 @@ def q_syslog_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfc5424_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third construct-then-parse-back grok gate: RFC5424 structured
+    syslog. Exercises the %{SYSLOG5424LINE} composite's ISO8601
+    timestamp branch, nil ('-') field semantics (proc nulls on odd
+    event_ids), the SD section alternation, and the single-pass
+    extractor — all against an oracle recomputed from the ORIGINAL
+    columns."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    ev = load_table(spark, sf_dir, "events")
+    proc = F.when(
+        F.pmod(F.col("event_id"), F.lit(2)) == 0,
+        F.pmod(F.col("event_id"), F.lit(9999)).cast("string"),
+    ).otherwise("-")
+    sd = F.when(
+        F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit('[m@1 i="3"]')
+    ).otherwise("-")
+    line = F.format_string(
+        "<%d>1 %s host%d app-%s %s ID%d %s user=%d action=%s",
+        F.pmod(F.col("event_id"), F.lit(192)),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.pmod(F.col("user_id"), F.lit(50)),
+        F.col("event_type"),
+        proc,
+        F.pmod(F.col("event_id"), F.lit(100)),
+        sd,
+        F.pmod(F.col("user_id"), F.lit(100)),
+        F.col("event_type"),
+    )
+    parsed = grok_parse(
+        ev.select(line.alias("text")),
+        "%{SYSLOG5424LINE}",
+        types={"syslog5424_pri": "long"},
+        single_pass=True,
+    )
+    return parsed.groupBy(F.col("syslog5424_app").alias("app")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("syslog5424_host").alias("n_hosts"),
+        F.sum("syslog5424_pri").alias("sum_pri"),
+        F.count("syslog5424_proc").alias("n_proc"),
+        F.sum(F.when(F.col("syslog5424_sd") != "-", 1).otherwise(0)).alias("n_sd"),
+        F.min("syslog5424_ts").alias("first_ts"),
+        F.count("syslog5424_msg").alias("n_msgs"),
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals per document (duplicated
     token / 2-gram / 3-gram occurrence counts + the boilerplate flag)
@@ -959,6 +1005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_errors": q_parse_errors,
     "apache_logs": q_apache_logs,
     "syslog_logs": q_syslog_logs,
+    "rfc5424_logs": q_rfc5424_logs,
     "repetition": q_repetition,
 }
 
@@ -1350,6 +1397,19 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            CAST(sum(CASE WHEN event_id % 2 = 0 THEN event_id % 8 END) AS BIGINT)
              AS sum_prio,
            CAST(0 AS BIGINT) AS n_iso
+    FROM events GROUP BY 1
+    """,
+    "rfc5424_logs": """
+    SELECT 'app-' || event_type AS app,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT user_id % 50) AS BIGINT) AS n_hosts,
+           CAST(sum(event_id % 192) AS BIGINT) AS sum_pri,
+           CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_proc,
+           CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sd,
+           min(strftime(ts, '%Y-%m-%dT%H:%M:%SZ')) AS first_ts,
+           CAST(count(*) AS BIGINT) AS n_msgs
     FROM events GROUP BY 1
     """,
     "decontaminate": f"""
