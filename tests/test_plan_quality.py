@@ -193,3 +193,14 @@ def test_ivf_assign_no_vecid_window(spark):
     # trained centroids arrive as a LocalRelation literal: nothing is
     # persisted (r3 leak) and the broadcast build costs zero scans
     assert "InMemoryTableScan" not in plan
+
+
+def test_reform_affix_is_codegen_substring_index(spark):
+    # tag_prefix/tag_suffix compile to ONE substring_index each —
+    # never the O(n^2) per-row affix array (transform over
+    # sequence + array_join of slices, all CodegenFallback) that
+    # dominated e2e wall time before r4
+    plan = _plan(entrymod.q_reform_flagship(spark, SF))
+    assert "substring_index" in plan
+    for node in ("array_join", "sequence(1"):
+        assert node not in plan, f"interpreted affix array is back: {node}"
