@@ -33,7 +33,30 @@ GROK_PATTERNS: dict[str, str] = {
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
     "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
-    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    # canonical IPv6 (all ::-compression forms + v4-mapped), written
+    # fully non-capturing (the upstream base pattern uses bare parens,
+    # which would violate the fields<->group-number invariant here)
+    "IPV6": (
+        r"(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5}"
+        r"|[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6}"
+        r"|:(?:(?::[0-9A-Fa-f]{1,4}){1,7}|:)"
+        r"|::(?:[fF]{4}(?::0{1,4})?:)?(?:\d{1,3}\.){3}\d{1,3}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,4}:(?:\d{1,3}\.){3}\d{1,3})"
+    ),
+    # IPV4 ordered first: semantically order-free (no string matches
+    # both), and the common case skips the long v6 alternation
+    "IP": r"(?:%{IPV4}|%{IPV6})",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
     "HOSTNAME": r"[a-zA-Z0-9](?:[a-zA-Z0-9_\-]{0,62}(?:\.[a-zA-Z0-9_\-]{1,63})*)?",
     "USERNAME": r"[a-zA-Z0-9._-]+",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",

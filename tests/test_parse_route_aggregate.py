@@ -481,3 +481,46 @@ def test_grok_bare_capture_group_rejected():
         grok_to_regex(
             "%{BAD:x} %{INT:n}", pattern_definitions={"BAD": r"(a|b)c"}
         )
+
+
+def test_grok_ipv6_and_mac():
+    """IPv6 (all compression forms + v4-mapped) and the MAC family
+    match/reject canonical shapes; IPORHOST now admits v6."""
+    import re
+
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_to_regex
+
+    cases = {
+        "%{IPV6}": (
+            ["2001:db8:85a3::8a2e:370:7334", "::1", "fe80::", "::",
+             "::ffff:192.0.2.128", "1:2:3:4:5:6:7:8"],
+            ["2001:db8", "1.2.3.4", "g::1"],
+        ),
+        "%{MAC}": (
+            ["00:1a:2b:3c:4d:5e", "00-1A-2B-3C-4D-5E", "001a.2b3c.4d5e"],
+            ["00:1a:2b:3c:4d", "zz:1a:2b:3c:4d:5e"],
+        ),
+        "%{IPORHOST}": (["::1", "10.0.0.1", "db01.internal"], [" "]),
+    }
+    for grok, (good, bad) in cases.items():
+        rx, _ = grok_to_regex(grok)
+        full = re.compile(rx + r"\Z")
+        for s in good:
+            assert full.match(s), f"{grok} should match {s!r}"
+        for s in bad:
+            assert not full.match(s), f"{grok} should reject {s!r}"
+
+
+def test_grok_apachelog_ipv6_client(spark):
+    """COMBINEDAPACHELOG parses a v6 clientip through IPORHOST."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    line = (
+        '2001:db8:85a3::8a2e:370:7334 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /a.gif HTTP/1.0" 200 2326 "http://r/" "ua/1.0"'
+    )
+    df = spark.createDataFrame([(line,)], "text string")
+    for sp in (False, True):
+        row = grok_parse(df, "%{COMBINEDAPACHELOG}", single_pass=sp).collect()[0]
+        assert row["clientip"] == "2001:db8:85a3::8a2e:370:7334"
+        assert row["verb"] == "GET"
