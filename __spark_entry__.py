@@ -680,6 +680,20 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-15 tokens across the corpus via Misra-Gries candidate
+    pruning + broadcast exact verify (operators/frequency.py): the
+    shuffle is bounded by `capacity` summary rows per partition rather
+    than the distinct-token cardinality, and the oracle recomputes the
+    same top-k wholesale — counts must match exactly, and on this
+    corpus the miss bound proves every returned row."""
+    from fluent_plugin_record_reformer_spark.operators.frequency import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", k=15, capacity=2048)
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch: approximate distinct conversations per role, next to
     the exact count so the estimator's accuracy is visible in output."""
@@ -1007,6 +1021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syslog_logs": q_syslog_logs,
     "rfc5424_logs": q_rfc5424_logs,
     "repetition": q_repetition,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 
@@ -1332,6 +1347,16 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            count(gap_s) AS n_gaps,
            CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant
     FROM gaps GROUP BY conv_id
+    """,
+    "heavy_hitters": """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    )
+    SELECT token, cnt, TRUE AS provably_exact
+    FROM c ORDER BY cnt DESC, token ASC LIMIT 15
     """,
     "repetition": """
     WITH toks AS (

@@ -1,0 +1,185 @@
+"""Exact distributed top-k heavy hitters with Misra-Gries candidate
+pruning — the log-pipeline "top talkers" operator (top tokens, top
+domains, top client IPs) for keyspaces whose distinct cardinality is
+far too large to group-count wholesale.
+
+Why not a plain ``groupBy(key).count().orderBy(...).limit(k)``? That
+plan's shuffle carries one row per DISTINCT (key, map-partition) pair
+— at 10^12 turns with a billion-distinct keyspace (think shingles,
+URLs, user agents) the partial-aggregate hash maps spill and the
+exchange moves the whole keyspace to find 20 winners. Here the shuffle
+is bounded by ``capacity`` summary rows per input partition,
+REGARDLESS of key cardinality:
+
+1. **Candidate generation** (one scan, zero shuffle of raw keys):
+   every input partition maintains a Misra-Gries summary of at most
+   ``capacity`` keys, fed Arrow-batch-at-a-time via vectorized
+   ``value_counts`` merges (per-distinct-key Python work, never
+   per-row). Classic MG bound: each decrement round subtracts d from
+   >= capacity+1 keys at once, so a partition's cumulative decrement
+   ``dec_p`` satisfies sum(dec_p) <= n_p/(capacity+1), and any key
+   ABSENT from the partition's final summary has partition-local
+   count <= dec_p.
+2. **Summary merge**: MG summaries are mergeable (Agarwal et al.,
+   "Mergeable Summaries", PODS'12) — a second MG pass over the
+   (key, weight) summary rows, carrying forward the accumulated
+   decrements, yields one global candidate set of <= capacity keys
+   plus the global miss bound ``B = sum(dec)``.
+3. **Exact verification** (second scan): broadcast the candidates,
+   inner-join + group-count ONLY those keys — counts in the result
+   are exact recounts, never MG estimates — then take the top k with
+   a deterministic (count desc, key asc) tiebreak via Spark's
+   TakeOrderedAndProject (per-partition partial top-k, no full sort).
+
+Every returned row carries ``provably_exact``: a key missing from the
+candidate set has true count <= B, so a returned row with count > B
+provably belongs to the true top-k (nothing unseen can outrank or
+tie-displace it). Size ``capacity`` >> k (default 64x) so real
+heavy-hitter workloads (Zipf-ish logs) come back fully proven.
+
+Cost model, stated honestly: two scans of the input (candidate pass +
+verify pass) — the price of EXACT counts; single-pass alternatives
+return MG estimates with +/-B error and can never pass a value-hash
+oracle gate. Candidate state that crosses the wire: capacity rows per
+partition into the merge, <= capacity rows broadcast out.
+
+Reference parity: the reference plugin has no sketches; this is part
+of the training-pipeline extension surface (per-sink "top talkers"
+rollups downstream of route fan-out).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUMMARY_SCHEMA = "_hh_key string, _hh_cnt long"
+
+
+def _mg_merge_batches(
+    batches: Iterator, key_name: str, weight_name: str | None, capacity: int
+):
+    """Shared MG core: fold batches of raw keys (weight 1 each) or of
+    weighted summary rows into one bounded summary. Yields one final
+    pandas frame: surviving (key, residual_count) rows plus a single
+    null-key row carrying the accumulated decrement total (the miss
+    bound contribution). Null keys in weighted input are prior
+    decrement rows and fold into the bound, not the summary."""
+    import pandas as pd
+
+    counts: dict = {}
+    dec_total = 0
+    for pdf in batches:
+        if weight_name is None:
+            vc = pdf[key_name].dropna().value_counts()
+            items = vc.items()
+        else:
+            keys = pdf[key_name]
+            wts = pdf[weight_name]
+            dec_total += int(wts[keys.isna()].sum())
+            grp = pdf.loc[keys.notna()].groupby(key_name, sort=False)[weight_name].sum()
+            items = grp.items()
+        for kv, c in items:
+            counts[kv] = counts.get(kv, 0) + int(c)
+        if len(counts) > capacity:
+            # Batched Misra-Gries decrement: subtract the
+            # (capacity+1)-th largest residual from everything at once
+            # — removes >= (capacity+1)*d mass, so the classic
+            # sum(d) <= n/(capacity+1) bound holds per round.
+            d = sorted(counts.values(), reverse=True)[capacity]
+            dec_total += d
+            counts = {kk: vv - d for kk, vv in counts.items() if vv > d}
+    yield pd.DataFrame(
+        {
+            "_hh_key": list(counts.keys()) + [None],
+            "_hh_cnt": list(counts.values()) + [dec_total],
+        }
+    )
+
+
+def mg_summarize(df: DataFrame, key_col: str, *, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of a key column:
+    (_hh_key, _hh_cnt) rows, <= capacity + 1 per partition (the
+    null-key row is the partition's decrement total)."""
+    cap = int(capacity)
+
+    def fn(batches):
+        yield from _mg_merge_batches(batches, key_col, None, cap)
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        fn, schema=_SUMMARY_SCHEMA
+    )
+
+
+def mg_merge(summaries: DataFrame, *, capacity: int, partitions: int = 1) -> DataFrame:
+    """Merge MG summary frames into ``partitions`` summaries (1 = the
+    global summary). MG summaries merge by summing weights and
+    re-pruning to capacity; carried null-key rows add into the merged
+    decrement total, so the miss bound survives composition. For
+    extreme partition counts, chain two merge levels (e.g. 32 then 1)
+    — each level's input is capacity+1 rows per upstream partition."""
+    cap = int(capacity)
+
+    def fn(batches):
+        yield from _mg_merge_batches(batches, "_hh_key", "_hh_cnt", cap)
+
+    return summaries.repartition(partitions).mapInPandas(fn, schema=_SUMMARY_SCHEMA)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int,
+    capacity: int | None = None,
+    out_count: str = "cnt",
+    merge_partitions: int = 1,
+) -> DataFrame:
+    """Exact top-``k`` most frequent values of ``key_col`` (null keys
+    excluded), as (key, count, provably_exact), ordered count desc
+    with key-asc tiebreak. See the module docstring for the plan
+    shape and the provability contract. Fully lazy: no driver action
+    at construction time."""
+    if capacity is None:
+        capacity = 64 * k
+    if capacity < k:
+        raise ValueError(f"capacity ({capacity}) must be >= k ({k})")
+
+    src = df.filter(F.col(key_col).isNotNull())
+    summary = mg_merge(
+        mg_summarize(src, key_col, capacity=capacity),
+        capacity=capacity,
+        partitions=merge_partitions,
+    )
+    # One tiny aggregation row: the candidate key set (<= capacity *
+    # merge_partitions entries — the same order as the broadcast below,
+    # so collapsing it to one row adds no new scale ceiling) plus the
+    # global miss bound from the null-key decrement rows.
+    one = summary.groupBy().agg(
+        F.collect_set("_hh_key").alias("_cands"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hh_key").isNull(), F.col("_hh_cnt"))), F.lit(0)
+        ).alias("_miss_bound"),
+    )
+    cand = one.select(F.explode("_cands").alias("_hh_key"), "_miss_bound")
+    exact = (
+        src.join(
+            F.broadcast(cand), F.col(key_col).cast("string") == F.col("_hh_key")
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias(out_count),
+            F.first("_miss_bound").alias("_mb"),
+        )
+    )
+    return (
+        exact.orderBy(F.col(out_count).desc(), F.col(key_col).asc())
+        .limit(k)
+        .select(
+            key_col,
+            out_count,
+            (F.col(out_count) > F.col("_mb")).alias("provably_exact"),
+        )
+    )
