@@ -400,6 +400,21 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(docs, shingle_n=SHINGLE_N)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third near-dup scheme (next to MinHash-LSH and SimHash): block
+    on the winnowed min-shingle fingerprint, exact n-gram Jaccard
+    inside each block with shingle sets carried through the pair-gen —
+    one scan, zero join-backs (operators/dedup.fingerprint_near_dup)."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import (
+        fingerprint_near_dup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_near_dup(
+        docs, shingle_n=SHINGLE_N, threshold=0.0, max_bucket=64
+    )
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language-ID heuristic vs the labeled lang col."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1022,6 +1037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfc5424_logs": q_rfc5424_logs,
     "repetition": q_repetition,
     "heavy_hitters": q_heavy_hitters,
+    "ngram_jaccard": q_ngram_jaccard,
 }
 
 
@@ -1347,6 +1363,29 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            count(gap_s) AS n_gaps,
            CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant
     FROM gaps GROUP BY conv_id
+    """,
+    "ngram_jaccard": f"""
+    WITH toks AS (
+      SELECT doc_id, {om.sql_word_tokens("text")} AS t FROM documents
+    ), shing AS (
+      SELECT doc_id, {om.sql_shingles("t", SHINGLE_N)} AS s FROM toks
+    ), per AS (
+      SELECT doc_id, {om.sql_minhash("s", 0)} AS wfp,
+             list_distinct({om.sql_hash60_list("s")}) AS sset
+      FROM shing
+    ), blk AS (
+      SELECT wfp FROM per GROUP BY wfp HAVING count(*) BETWEEN 2 AND 64
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sset, b.sset))::DOUBLE /
+                 (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))),
+                 4) AS jaccard
+    FROM per a
+    JOIN per b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+    JOIN blk ON blk.wfp = a.wfp
+    WHERE round(len(list_intersect(a.sset, b.sset))::DOUBLE /
+                (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))),
+                4) >= 0.0
     """,
     "heavy_hitters": """
     WITH toks AS (

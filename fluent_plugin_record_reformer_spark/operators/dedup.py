@@ -285,6 +285,69 @@ def jaccard_pairs(
     )
 
 
+def fingerprint_near_dup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Winnow-fingerprint-blocked exact n-gram Jaccard: the third
+    near-dup candidate scheme next to MinHash banding (lsh_near_dup)
+    and SimHash. Docs sharing their WINNOWED fingerprint (the minimum
+    seeded-md5 shingle digest, the same value doc_fingerprints emits)
+    land in one block; exact distinct-shingle-hash Jaccard is computed
+    inside the block with the sets CARRIED through the pair-gen — one
+    scan, one groupBy cascade, zero join-backs, exactly the
+    lsh_near_dup shape but with a single blocking key instead of
+    band buckets (so no cross-bucket duplicate pairs and no final
+    distinct()).
+
+    Trade-off vs MinHash banding, stated honestly: one block per doc
+    means recall is lower (two near-dups must share their min shingle,
+    probability ~ jaccard itself), but candidate volume is far
+    smaller and there is no signature computation — the right scheme
+    for "find the heavy near-identical clusters cheaply" passes.
+    ``max_bucket`` caps identical-doc flood blocks as in
+    lsh_candidate_pairs."""
+    toks = ensure_compute_parallelism(df).select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+    )
+    ex = toks.select(
+        F.col(id_col), F.explode_outer(shingles(F.col("_toks"), shingle_n)).alias("_s")
+    )
+    per_doc = ex.groupBy(id_col).agg(
+        F.min(seeded_md5(F.col("_s"), 0)).alias("winnow_fp"),
+        F.collect_set(_hash60(F.col("_s"))).alias("_sset"),
+    )
+    members = per_doc.groupBy("winnow_fp").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_sset").alias("s")))
+        ).alias("_ms")
+    )
+    if max_bucket is not None:
+        members = members.filter(F.size("_ms") <= max_bucket)
+    pairs = (
+        members.filter(F.size("_ms") > 1)
+        .select(F.explode(_bucket_pairs("_ms")).alias("p"))
+        .select(
+            F.col("p.a.i").alias("id_a"),
+            F.col("p.b.i").alias("id_b"),
+            F.col("p.a.s").alias("_sa"),
+            F.col("p.b.s").alias("_sb"),
+        )
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def dup_clusters(
     pairs: DataFrame,
     *,
