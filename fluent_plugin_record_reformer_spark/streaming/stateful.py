@@ -21,6 +21,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = (
@@ -102,4 +103,83 @@ def conversation_sessions(
         stateStructType=STATE_SCHEMA,
         outputMode=output_mode,
         timeoutConf=timeout,
+    )
+
+
+TALKER_SCHEMA = "grp string, key string, est_cnt long, max_err long, rank int"
+TALKER_STATE_SCHEMA = "keys array<string>, cnts array<long>, dec long"
+
+
+def make_top_talker_fn(k: int, capacity: int):
+    """Per-group Misra-Gries state folded batch-by-batch (vectorized
+    ``value_counts``, per-distinct-key merges — never per-row Python),
+    emitting the group's current top-k each trigger. Same algorithm and
+    error contract as ``operators/frequency.py``: a key's true count in
+    the group lies in [est_cnt, est_cnt + max_err], and a key absent
+    from state has true count <= max_err."""
+
+    def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        (grp,) = key
+        counts: dict = {}
+        dec = 0
+        if state.exists:
+            keys, cnts, dec = state.get
+            counts = dict(zip(keys, cnts))
+        for pdf in batches:
+            vc = pdf["key"].dropna().value_counts()
+            for kv, c in vc.items():
+                counts[kv] = counts.get(kv, 0) + int(c)
+            if len(counts) > capacity:
+                d = sorted(counts.values(), reverse=True)[capacity]
+                dec += d
+                counts = {kk: vv - d for kk, vv in counts.items() if vv > d}
+        state.update((list(counts), [int(v) for v in counts.values()], dec))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "grp": [grp] * len(top),
+                "key": [t[0] for t in top],
+                "est_cnt": [t[1] for t in top],
+                "max_err": [dec] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return fn
+
+
+def streaming_top_talkers(
+    stream: DataFrame,
+    *,
+    group_col: str,
+    key_col: str,
+    k: int = 10,
+    capacity: int = 1024,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Live "top talkers per sink": for each ``group_col`` value (a
+    route/sink), maintain a bounded Misra-Gries summary of ``key_col``
+    across micro-batches and emit the group's current top-``k`` every
+    trigger — the streaming counterpart of
+    ``operators/frequency.heavy_hitters``.
+
+    State per group is <= ``capacity`` (key, count) entries plus one
+    decrement total, REGARDLESS of how many distinct keys the stream
+    has seen — the state store never grows with key cardinality, which
+    is what makes this safe on an unbounded stream. State keys are
+    hash-partitioned by group, matching the batch pipeline's
+    aggregation partitioning (a hot sink is one state key, not a
+    shuffle skew). Output columns: (grp, key, est_cnt, max_err, rank)
+    with est_cnt <= true count <= est_cnt + max_err; with capacity
+    >= distinct-keys-per-group the counts are exact and max_err = 0."""
+    src = stream.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(key_col).cast("string").alias("key"),
+    )
+    return src.groupBy("grp").applyInPandasWithState(
+        make_top_talker_fn(k, capacity),
+        outputStructType=TALKER_SCHEMA,
+        stateStructType=TALKER_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

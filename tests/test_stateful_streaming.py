@@ -328,3 +328,87 @@ def test_sessionizer_sigkill_mid_batch_exactly_once(spark, transcripts, tmp_path
         assert final[cid]["session_end"] == want[cid]["session_end"], cid
     # all four input files processed across the two runs
     assert len(bids) >= 4
+
+
+def _talker_rows(spark, src_dir, *, k, capacity):
+    """Drive streaming_top_talkers over the files in src_dir (one file
+    per micro-batch) and return the per-batch emissions."""
+    from fluent_plugin_record_reformer_spark.streaming.stateful import (
+        streaming_top_talkers,
+    )
+
+    stream = (
+        spark.readStream.schema("grp string, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    talkers = streaming_top_talkers(
+        stream, group_col="grp", key_col="key", k=k, capacity=capacity
+    )
+    out: list[tuple[int, list]] = []
+    q = (
+        talkers.writeStream.foreachBatch(
+            lambda df, bid: out.append((bid, df.collect()))
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "query did not drain in time"
+    return out
+
+
+def _write_talker_batches(spark, tmp_path):
+    """Two micro-batch files of (grp, key): skewed per-group key
+    frequencies split across batches so state must accumulate."""
+    rows1, rows2 = [], []
+    for g in ("a", "b"):
+        for i in range(12):
+            n = 40 // (i + 1)
+            half = n // 2
+            rows1 += [(g, f"{g}-k{i:02d}")] * half
+            rows2 += [(g, f"{g}-k{i:02d}")] * (n - half)
+    src = str(tmp_path / "talksrc")
+    spark.createDataFrame(rows1, "grp string, key string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, "grp string, key string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    return src, rows1 + rows2
+
+
+def test_streaming_top_talkers_matches_batch_truth(spark, tmp_path):
+    """capacity >= distinct keys per group: the final emission's counts
+    are EXACT (max_err 0) and the ranking equals the batch ground
+    truth, with state accumulated across two micro-batches."""
+    from collections import Counter
+
+    src, all_rows = _write_talker_batches(spark, tmp_path)
+    out = _talker_rows(spark, src, k=5, capacity=64)
+    assert len(out) >= 2
+    final = max((bid, rows) for bid, rows in out if rows)[1]
+    truth = Counter(all_rows)
+    for grp in ("a", "b"):
+        got = sorted(
+            [r for r in final if r["grp"] == grp], key=lambda r: r["rank"]
+        )
+        want = sorted(
+            ((k_, c) for (g, k_), c in truth.items() if g == grp),
+            key=lambda kc: (-kc[1], kc[0]),
+        )[:5]
+        assert [(r["key"], r["est_cnt"]) for r in got] == want
+        assert all(r["max_err"] == 0 for r in got)
+
+
+def test_streaming_top_talkers_bounded_state_error_contract(spark, tmp_path):
+    """capacity << distinct keys: state stays bounded and every emitted
+    estimate satisfies est <= true <= est + max_err."""
+    from collections import Counter
+
+    src, all_rows = _write_talker_batches(spark, tmp_path)
+    truth = Counter(all_rows)
+    out = _talker_rows(spark, src, k=3, capacity=4)
+    final = max((bid, rows) for bid, rows in out if rows)[1]
+    assert final, "no emissions"
+    for r in final:
+        true_cnt = truth[(r["grp"], r["key"])]
+        assert r["est_cnt"] <= true_cnt <= r["est_cnt"] + r["max_err"], r
