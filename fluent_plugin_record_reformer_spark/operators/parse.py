@@ -60,7 +60,12 @@ GROK_PATTERNS: dict[str, str] = {
     "HOSTNAME": r"[a-zA-Z0-9](?:[a-zA-Z0-9_\-]{0,62}(?:\.[a-zA-Z0-9_\-]{1,63})*)?",
     "USERNAME": r"[a-zA-Z0-9._-]+",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
-    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|CRITICAL)",
+    "LOGLEVEL": (
+        r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE"
+        r"|[Ii]nfo(?:rmation)?|INFO|[Ww]arn?(?:ing)?|WARN?(?:ING)?"
+        r"|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?"
+        r"|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)"
+    ),
     "QUOTEDSTRING": r'"[^"]*"',
     # -- the commonly-hit public grok base patterns (equivalents of the
     # standard grok core set; composites keep the conventional embedded
@@ -123,6 +128,26 @@ GROK_PATTERNS: dict[str, str] = {
     "DATE": r"(?:%{DATE_US}|%{DATE_EU})",
     "DATESTAMP": r"%{DATE}[- ]%{TIME}",
     "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    # datetime tail of the public base set (all alternations
+    # non-capturing per the fields<->group-number invariant):
+    "DAY": (
+        r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?"
+        r"|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"
+    ),
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
+    "TZ": r"(?:[APMCE][SD]T|UTC|GMT)",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": r"%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    "CISCOTIMESTAMP": r"%{MONTH} +%{MONTHDAY}(?: %{YEAR})? %{TIME}",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+)",
+    # Apache/httpd error-log composite (2.0-era shape: optional client)
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    "HTTPD20_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] "
+        r"(?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"
+    ),
     # full-line syslog composites (linux-syslog pattern file shape):
     # SYSLOGBASE2 admits either the classic or ISO8601 timestamp
     "SYSLOGBASE2": (

@@ -337,6 +337,22 @@ def test_grok_tail_patterns():
         "%{ISO8601_TIMEZONE}": (["Z", "+05:30", "-0800"], ["+5"]),
         "%{HTTPDUSER}": (["frank", "frank@example.com"], ["@", ""]),
         "%{BASE10NUM}": (["-3.5", ".5", "42"], ["."]),
+        "%{DATESTAMP_RFC822}": (
+            ["Tue Jan 21 2025 14:03:07 PST", "Wednesday Dec 3 2024 09:00 UTC"],
+            ["Tue Jan 21 2025 14:03:07"],
+        ),
+        "%{DATESTAMP_RFC2822}": (
+            ["Tue, 21 Jan 2025 14:03:07 +0100", "Fri, 1 Mar 2024 00:00 Z"],
+            ["21 Jan 2025 14:03:07 +0100"],
+        ),
+        "%{DATESTAMP_OTHER}": (
+            ["Tue Jan 21 14:03:07 PST 2025"],
+            ["Tue Jan 21 14:03:07 2025"],
+        ),
+        "%{DATESTAMP_EVENTLOG}": (["20250121140307"], ["2025-01-21"]),
+        "%{CISCOTIMESTAMP}": (["Jan 21 14:03:07", "Jan 21 2025 14:03:07"], ["Jan"]),
+        "%{HTTPDERROR_DATE}": (["Tue Jan 21 14:03:07 2025"], ["Jan 21 14:03:07"]),
+        "%{TTY}": (["/dev/pts/3", "/dev/tty7"], ["/dev/null"]),
     }
     for grok, (good, bad) in cases.items():
         rx, _ = grok_to_regex(grok)
@@ -524,3 +540,30 @@ def test_grok_apachelog_ipv6_client(spark):
         row = grok_parse(df, "%{COMBINEDAPACHELOG}", single_pass=sp).collect()[0]
         assert row["clientip"] == "2001:db8:85a3::8a2e:370:7334"
         assert row["verb"] == "GET"
+
+
+def test_grok_httpd_errorlog(spark):
+    """HTTPD20_ERRORLOG end-to-end: optional [client ...] segment,
+    mixed-case LOGLEVEL, greedy message — fields come back typed and a
+    non-matching line yields all-null containment."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    lines = [
+        "[Tue Jan 21 14:03:07 2025] [error] [client 10.0.0.1] File does not exist: /var/www/x",
+        "[Tue Jan 21 14:03:08 2025] [notice] caught SIGTERM, shutting down",
+        "not an error log line",
+    ]
+    df = spark.createDataFrame([(s,) for s in lines], "text string")
+    got = {
+        r["message"]: r
+        for r in grok_parse(df, "%{HTTPD20_ERRORLOG}", single_pass=True).collect()
+    }
+    e1 = got["File does not exist: /var/www/x"]
+    assert (e1["timestamp"], e1["loglevel"], e1["clientip"]) == (
+        "Tue Jan 21 14:03:07 2025",
+        "error",
+        "10.0.0.1",
+    )
+    e2 = got["caught SIGTERM, shutting down"]
+    assert (e2["loglevel"], e2["clientip"]) == ("notice", None)
+    assert None in got  # containment row: every field null
