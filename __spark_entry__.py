@@ -709,6 +709,72 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "token", k=15, capacity=2048)
 
 
+# Versioned tool dimension for the as-of enrichment query — shared
+# verbatim between the Spark values_dim and the oracle's VALUES CTE.
+TOOL_VERSIONS = [
+    ("checkout", "2023-12-01 00:00:00", "legacy"),
+    ("checkout", "2024-01-10 00:00:00", "standard"),
+    ("checkout", "2024-01-20 00:00:00", "premium"),
+    ("auth", "2023-12-01 00:00:00", "legacy"),
+    ("auth", "2024-01-15 00:00:00", "mfa"),
+]
+
+
+def q_asof_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) enrichment: each turn gets the tool tier
+    that was effective AT ITS TIMESTAMP from a versioned dim
+    (operators/enrich.asof_enrich — fact side never shuffles; the dim
+    collapses to per-key sorted version arrays and broadcasts). The
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from fluent_plugin_record_reformer_spark.operators.enrich import (
+        asof_enrich,
+        values_dim,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    dim = values_dim(
+        spark,
+        TOOL_VERSIONS,
+        "tool string, effective_from timestamp, tier string",
+    )
+    e = asof_enrich(t, dim, on="tool", ts_col="ts", dim_ts_col="effective_from")
+    return e.groupBy("tool", "tier").agg(F.count(F.lit(1)).alias("n_turns"))
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a cartesian product: 2-hour alert windows
+    (anchored at every 97th error event) joined to ALL events falling
+    inside them via the bucket-equality range join
+    (operators/joins.bucketed_range_join); the oracle runs the plain
+    BETWEEN join the buckets must exactly reproduce."""
+    from fluent_plugin_record_reformer_spark.operators.joins import (
+        bucketed_range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(
+        (F.col("event_type") == "error") & (F.pmod(F.col("event_id"), F.lit(97)) == 0)
+    ).select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    facts = ev.select("event_id", "event_type", "ts", "value")
+    j = bucketed_range_join(
+        facts,
+        iv,
+        ts_col="ts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_seconds=7200,
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("win_id").alias("n_windows"),
+        F.round(F.sum("value"), 2).alias("sum_val"),
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch: approximate distinct conversations per role, next to
     the exact count so the estimator's accuracy is visible in output."""
@@ -1038,6 +1104,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "heavy_hitters": q_heavy_hitters,
     "ngram_jaccard": q_ngram_jaccard,
+    "asof_tools": q_asof_tools,
+    "range_join": q_range_join,
 }
 
 
@@ -1363,6 +1431,35 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            count(gap_s) AS n_gaps,
            CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant
     FROM gaps GROUP BY conv_id
+    """,
+    "asof_tools": TRANSCRIPTS_CTE
+    + """
+    , dim(tool, effective_from, tier) AS (VALUES
+    """
+    + ",\n      ".join(
+        f"('{t}', TIMESTAMP '{ts}', '{tier}')" for t, ts, tier in TOOL_VERSIONS
+    )
+    + """
+    ), j AS (
+      SELECT t.tool AS tool, d.tier AS tier
+      FROM transcripts t ASOF LEFT JOIN dim d
+        ON t.tool = d.tool AND t.ts >= d.effective_from
+    )
+    SELECT tool, tier, CAST(count(*) AS BIGINT) AS n_turns
+    FROM j GROUP BY 1, 2
+    """,
+    "range_join": """
+    WITH iv AS (
+      SELECT event_id AS win_id, ts AS win_start,
+             ts + INTERVAL 2 HOUR AS win_end
+      FROM events WHERE event_type = 'error' AND event_id % 97 = 0
+    )
+    SELECT e.event_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT i.win_id) AS BIGINT) AS n_windows,
+           round(sum(e.value), 2) AS sum_val
+    FROM events e JOIN iv i ON e.ts BETWEEN i.win_start AND i.win_end
+    GROUP BY 1
     """,
     "ngram_jaccard": f"""
     WITH toks AS (

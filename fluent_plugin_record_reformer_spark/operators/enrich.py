@@ -29,6 +29,56 @@ def enrich(
     return df.join(F.broadcast(dim), on=on, how=how)
 
 
+def asof_enrich(
+    df: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str,
+    ts_col: str,
+    dim_ts_col: str,
+) -> DataFrame:
+    """As-of (point-in-time) enrichment against a VERSIONED dimension:
+    each fact row receives the attributes of the LATEST dim version
+    whose ``dim_ts_col`` <= the fact's ``ts_col`` — the slowly-changing
+    -dimension lookup every log pipeline eventually needs (tool
+    pricing tiers, host ownership, config epochs).
+
+    Scale shape — the fact table NEVER shuffles: the dim collapses to
+    one row per key holding its time-sorted version array (a tiny
+    groupBy on the dim side only), that single-row-per-key frame is
+    broadcast, so the join is key-equality with fan-out exactly 1 —
+    no row-multiplication, no row_key groupBy, no window over facts.
+    Version selection is ``get(filter(versions, v.ts <= fact.ts),
+    n-1)`` over the per-key array: the filter lambda is interpreted,
+    but it touches only the handful of versions for that key, and
+    ``F.get`` returns null on the empty array (no match -> null
+    enrichment, never a dropped row) independent of ANSI mode.
+
+    Contract: version timestamps should be unique per key (ties
+    resolve by the remaining attribute order inside the sorted
+    struct). Mirrors DuckDB/kdb ``ASOF JOIN`` semantics, which is
+    exactly what the oracle uses."""
+    attrs = [c for c in dim.columns if c not in (on, dim_ts_col)]
+    versions = dim.groupBy(on).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(dim_ts_col).alias("_ts"),
+                    *[F.col(a).alias(a) for a in attrs],
+                )
+            )
+        ).alias("_versions")
+    )
+    j = df.join(F.broadcast(versions), on=on, how="left")
+    matched = F.filter(
+        F.col("_versions"), lambda v: v["_ts"] <= F.col(ts_col)
+    )
+    best = F.get(matched, F.size(matched) - 1)
+    return j.select(
+        *df.columns, *[best[a].alias(a) for a in attrs]
+    )
+
+
 def values_dim(spark: SparkSession, rows: Sequence[tuple], colspec: str) -> DataFrame:
     """Build a small dimension as a pure-JVM ``VALUES`` relation.
 

@@ -1,0 +1,202 @@
+"""As-of enrichment and bucketed range join: semantics vs naive
+reference implementations, plan shapes (no fact shuffle / no nested
+loop), and the interval span guard."""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fluent_plugin_record_reformer_spark.operators.enrich import (  # noqa: E402
+    asof_enrich,
+)
+from fluent_plugin_record_reformer_spark.operators.joins import (  # noqa: E402
+    bucketed_range_join,
+)
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rows = [
+        (1, "checkout", _ts(1)),
+        (2, "checkout", _ts(12)),
+        (3, "checkout", _ts(25)),
+        (4, "auth", _ts(5)),
+        (5, "auth", _ts(20)),
+        (6, "browser", _ts(10)),  # key with no dim versions
+        (7, None, _ts(10)),  # null key
+        (8, "checkout", _ts(10)),  # exactly AT a version boundary
+    ]
+    return spark.createDataFrame(rows, "id long, tool string, ts timestamp")
+
+
+@pytest.fixture(scope="module")
+def versions(spark):
+    rows = [
+        ("checkout", _ts(10), "standard"),
+        ("checkout", _ts(20), "premium"),
+        ("auth", _ts(15), "mfa"),
+    ]
+    return spark.createDataFrame(
+        rows, "tool string, effective_from timestamp, tier string"
+    )
+
+
+def test_asof_enrich_semantics(spark, facts, versions):
+    out = {
+        r["id"]: r["tier"]
+        for r in asof_enrich(
+            facts, versions, on="tool", ts_col="ts", dim_ts_col="effective_from"
+        ).collect()
+    }
+    assert out == {
+        1: None,  # before first checkout version
+        2: "standard",
+        3: "premium",
+        4: None,  # before first auth version
+        5: "mfa",
+        6: None,  # key never versioned
+        7: None,  # null key
+        8: "standard",  # boundary: effective_from <= ts is inclusive
+    }
+
+
+def test_asof_enrich_keeps_all_fact_rows_and_columns(spark, facts, versions):
+    out = asof_enrich(
+        facts, versions, on="tool", ts_col="ts", dim_ts_col="effective_from"
+    )
+    assert out.count() == facts.count()
+    assert out.columns == ["id", "tool", "ts", "tier"]
+
+
+def test_asof_enrich_plan_never_shuffles_facts(spark, facts, versions):
+    """The whole point of the per-key version-array design: the fact
+    side sees only a broadcast hash join — no sort-merge join, no
+    window, no aggregation over facts."""
+    out = asof_enrich(
+        facts, versions, on="tool", ts_col="ts", dim_ts_col="effective_from"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition" not in plan.lower()
+
+
+def _interval_frames(spark):
+    iv_rows = [
+        (100, _ts(1, 0), _ts(1, 6)),
+        (101, _ts(1, 3), _ts(1, 4)),  # overlaps 100
+        (102, _ts(2, 23, 30), _ts(3, 0, 30)),  # crosses midnight/bucket edges
+        (103, _ts(5, 0), _ts(5, 0)),  # zero-length: only exact hits
+    ]
+    fact_rows = [
+        (i, _ts(1 + i % 5, (3 * i) % 24, (7 * i) % 60)) for i in range(60)
+    ] + [(1000, _ts(5, 0))]  # exact hit on the zero-length interval
+    iv = spark.createDataFrame(
+        iv_rows, "win_id long, win_start timestamp, win_end timestamp"
+    )
+    facts = spark.createDataFrame(fact_rows, "fid long, fts timestamp")
+    return facts, iv
+
+
+def _naive(facts, iv):
+    return facts.join(
+        iv,
+        (F.col("fts") >= F.col("win_start")) & (F.col("fts") <= F.col("win_end")),
+    )
+
+
+@pytest.mark.parametrize("bucket", [600, 3600, 86400])
+def test_bucketed_range_join_equals_naive(spark, bucket):
+    facts, iv = _interval_frames(spark)
+    want = sorted(
+        (r["fid"], r["win_id"]) for r in _naive(facts, iv).collect()
+    )
+    got = sorted(
+        (r["fid"], r["win_id"])
+        for r in bucketed_range_join(
+            facts,
+            iv,
+            ts_col="fts",
+            start_col="win_start",
+            end_col="win_end",
+            bucket_seconds=bucket,
+        ).collect()
+    )
+    assert got == want
+    assert want, "fixture must actually produce matches"
+    assert (1000, 103) in want  # inclusive zero-length interval
+
+
+def test_bucketed_range_join_is_hash_join_not_nested_loop(spark):
+    """With broadcast disabled (both sides 'big'), the bucket key must
+    make this a shuffled equality join — the naive BETWEEN join would
+    be a BroadcastNestedLoopJoin/cartesian."""
+    facts, iv = _interval_frames(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            bucketed_range_join(
+                facts,
+                iv,
+                ts_col="fts",
+                start_col="win_start",
+                end_col="win_end",
+                bucket_seconds=3600,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        naive_plan = (
+            _naive(facts, iv)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert (
+            "BroadcastNestedLoopJoin" in naive_plan
+            or "CartesianProduct" in naive_plan
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_range_join_span_guard(spark):
+    facts, iv = _interval_frames(spark)
+    guarded = bucketed_range_join(
+        facts,
+        iv,
+        ts_col="fts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_seconds=60,
+        max_span_buckets=5,  # the 6h interval spans ~360 minute-buckets
+    )
+    with pytest.raises(Exception, match="spans more than 5 buckets"):
+        guarded.count()
+    # and disabling the guard lets the same plan run
+    assert (
+        bucketed_range_join(
+            facts,
+            iv,
+            ts_col="fts",
+            start_col="win_start",
+            end_col="win_end",
+            bucket_seconds=60,
+            max_span_buckets=None,
+        ).count()
+        > 0
+    )
