@@ -288,6 +288,26 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE pass: Spark's
+    ROLLUP (grouping sets) computes the (type, day, hour), (type, day),
+    (type), and grand-total aggregate levels in a single shuffle —
+    the continuous-aggregate ladder a time-series store materializes,
+    here as one partial-aggregated plan. Level is indicated by the
+    null pattern (the grouping columns themselves are never null)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("event_type").alias("etype"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+        "value",
+    )
+    return d.rollup("etype", "day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_val"),
+    )
+
+
 E2E_ROUTES = RouteTable(
     [
         Route("user_sink", "reformed.transcripts.user"),
@@ -1106,6 +1126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "asof_tools": q_asof_tools,
     "range_join": q_range_join,
+    "time_rollup": q_time_rollup,
 }
 
 
@@ -1447,6 +1468,17 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     )
     SELECT tool, tier, CAST(count(*) AS BIGINT) AS n_turns
     FROM j GROUP BY 1, 2
+    """,
+    "time_rollup": """
+    WITH d AS (
+      SELECT event_type AS etype, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(hour(ts) AS INTEGER) AS hour, value
+      FROM events
+    )
+    SELECT etype, day, hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_val
+    FROM d GROUP BY ROLLUP (etype, day, hour)
     """,
     "range_join": """
     WITH iv AS (
