@@ -288,6 +288,28 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of streaming/stateful.streaming_top_talkers (the
+    pairing pattern of conv_sessions <-> the stateful sessionizer):
+    per route, the top-3 keys by turn count — here (role, tool) as the
+    talker key — with the streaming operator's exact (cnt desc, key
+    asc) tiebreak. Window top-k over pre-aggregated per-route counts:
+    the window input is one row per (route, key), never raw turns."""
+    from pyspark.sql.window import Window
+
+    routed = ROUTES.assign(_tagged(spark, sf_dir))
+    counts = routed.groupBy(
+        "route",
+        F.concat_ws("/", "role", F.coalesce("tool", F.lit("none"))).alias("key"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("route").orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("route", "key", "cnt", "rank")
+    )
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-granularity rollup in ONE pass: Spark's
     ROLLUP (grouping sets) computes the (type, day, hour), (type, day),
@@ -1127,6 +1149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_tools": q_asof_tools,
     "range_join": q_range_join,
     "time_rollup": q_time_rollup,
+    "sink_top_talkers": q_sink_top_talkers,
 }
 
 
@@ -1468,6 +1491,23 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     )
     SELECT tool, tier, CAST(count(*) AS BIGINT) AS n_turns
     FROM j GROUP BY 1, 2
+    """,
+    "sink_top_talkers": TRANSCRIPTS_CTE
+    + """
+    , counts AS (
+      SELECT CASE WHEN role = 'user' THEN 'user_turns'
+                  WHEN role = 'assistant' AND tool = 'auth' THEN 'assistant_auth'
+                  WHEN role = 'assistant' THEN 'assistant_rest'
+                  ELSE 'ops' END AS route,
+             role || '/' || coalesce(tool, 'none') AS key,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tagged GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER
+          (PARTITION BY route ORDER BY cnt DESC, key ASC) AS INTEGER) AS rank
+      FROM counts
+    )
+    SELECT route, key, cnt, rank FROM ranked WHERE rank <= 3
     """,
     "time_rollup": """
     WITH d AS (
