@@ -130,3 +130,14 @@ def test_heavy_hitters_plan_shape(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitters_multi_partition_merge(spark):
+    """merge_partitions > 1 (the tree-merge step for extreme input
+    partition counts): candidates come from several merged summaries,
+    the miss bound sums across them, and results still equal the
+    exact top-k."""
+    df = _zipf_df(spark, n_keys=80, base=800, parts=8)
+    got = heavy_hitters(df, "key", k=6, capacity=32, merge_partitions=3).collect()
+    assert [(r["key"], r["cnt"]) for r in got] == _exact_topk(df, 6)
+    assert got[0]["provably_exact"]

@@ -412,3 +412,112 @@ def test_streaming_top_talkers_bounded_state_error_contract(spark, tmp_path):
     for r in final:
         true_cnt = truth[(r["grp"], r["key"])]
         assert r["est_cnt"] <= true_cnt <= r["est_cnt"] + r["max_err"], r
+
+
+def test_top_talkers_crash_recovery(spark, tmp_path):
+    """Kill the top-talkers query after its first commit and restart
+    from the checkpoint: per-group Misra-Gries state accumulated
+    before the kill must be recovered (counts keep growing, never
+    restart), and the final emissions must equal the batch ground
+    truth. Sink is foreachBatch parquet; the assert takes each
+    group's latest-batch emission."""
+    import glob as globmod
+    import os
+    import shutil
+    import time
+    from collections import Counter
+
+    from fluent_plugin_record_reformer_spark.streaming.stateful import (
+        streaming_top_talkers,
+    )
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(8):
+            rows += [(g, f"{g}-k{i}")] * (32 // (i + 1))
+    truth = Counter(rows)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    df = spark.createDataFrame(rows, "grp string, key string")
+    for i in range(3):
+        staging = str(tmp_path / f"stage{i}")
+        df.filter(F.crc32(F.concat("grp", "key")) % 3 == i).coalesce(1).write.parquet(
+            staging
+        )
+        shutil.move(globmod.glob(f"{staging}/part-*.parquet")[0], f"{src}/s{i}.parquet")
+
+    raw = (
+        spark.readStream.schema("grp string, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(batch_df, bid):
+        batch_df.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(out)
+
+    def make_query(stream):
+        return (
+            streaming_top_talkers(
+                stream, group_col="grp", key_col="key", k=4, capacity=64
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+
+    q = make_query(raw)
+    commits = os.path.join(ckpt, "commits")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [
+            f
+            for f in (os.listdir(commits) if os.path.isdir(commits) else [])
+            if not f.endswith(".tmp")
+        ]
+        if len(done) >= 1:
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("no micro-batch committed within deadline")
+    q.stop()
+
+    q2 = (
+        streaming_top_talkers(raw, group_col="grp", key_col="key", k=4, capacity=64)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180), "restarted query did not drain"
+
+    got = spark.read.parquet(out)
+    got.createOrReplaceTempView("talker_emits")
+    final = spark.sql(
+        """
+        SELECT grp, key, est_cnt, rank
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY grp, key ORDER BY _bid DESC) AS rn
+              FROM talker_emits
+              WHERE _bid = (SELECT max(_bid) FROM talker_emits))
+        WHERE rn = 1
+        """
+    )
+    for grp in ("a", "b"):
+        want = sorted(
+            ((k, c) for (g, k), c in truth.items() if g == grp),
+            key=lambda kc: (-kc[1], kc[0]),
+        )[:4]
+        gotg = sorted(
+            [
+                (r["key"], r["est_cnt"])
+                for r in final.collect()
+                if r["grp"] == grp
+            ],
+            key=lambda kc: (-kc[1], kc[0]),
+        )
+        assert gotg == want, grp
