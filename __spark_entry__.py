@@ -288,6 +288,27 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event rates in batch: 6-hour windows every 3
+    hours via ``F.window`` (size = 2x slide, so each event lands in
+    exactly two windows — the oracle enumerates both by epoch
+    arithmetic). The batch mirror of the streaming watermarked
+    windowed counts; window boundaries are epoch-aligned in the UTC
+    session on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours", "3 hours")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def q_sink_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch mirror of streaming/stateful.streaming_top_talkers (the
     pairing pattern of conv_sessions <-> the stateful sessionizer):
@@ -1150,6 +1171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "time_rollup": q_time_rollup,
     "sink_top_talkers": q_sink_top_talkers,
+    "sliding_rate": q_sliding_rate,
 }
 
 
@@ -1491,6 +1513,20 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     )
     SELECT tool, tier, CAST(count(*) AS BIGINT) AS n_turns
     FROM j GROUP BY 1, 2
+    """,
+    "sliding_rate": """
+    WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 10800) AS BIGINT) AS k0
+      FROM events
+    ), x AS (
+      -- size = 2x slide: every event is in exactly windows k0-1 and k0
+      SELECT event_type, k0 - s.k AS k FROM e, (VALUES (0), (1)) s(k)
+    )
+    SELECT make_timestamp(k * 10800 * 1000000) AS w_start,
+           make_timestamp((k * 10800 + 21600) * 1000000) AS w_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x GROUP BY 1, 2, 3
     """,
     "sink_top_talkers": TRANSCRIPTS_CTE
     + """

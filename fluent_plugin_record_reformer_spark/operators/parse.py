@@ -142,11 +142,26 @@ GROK_PATTERNS: dict[str, str] = {
     "DATESTAMP_EVENTLOG": r"%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
     "CISCOTIMESTAMP": r"%{MONTH} +%{MONTHDAY}(?: %{YEAR})? %{TIME}",
     "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+)",
-    # Apache/httpd error-log composite (2.0-era shape: optional client)
+    # Apache/httpd error-log composites (2.0-era and 2.4-era shapes)
     "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
     "HTTPD20_ERRORLOG": (
         r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] "
         r"(?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"
+    ),
+    "HTTPD24_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[(?:%{WORD:module})?:%{LOGLEVEL:loglevel}\]"
+        r" \[pid %{POSINT:pid}(?::tid %{NONNEGINT:tid})?\]"
+        r"(?: \[client %{IPORHOST:clientip}:%{POSINT:clientport}\])? %{GREEDYDATA:message}"
+    ),
+    "SPACE": r"\s*",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    # Java / JVM-log family (class, source file, stacktrace frame)
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAFILE": r"(?:[A-Za-z0-9_. -]+)",
+    "JAVAMETHOD": r"(?:(?:<(?:cl)?init>)|[a-zA-Z$_][a-zA-Z$_0-9]*)",
+    "JAVASTACKTRACEPART": (
+        r"\s+at %{JAVACLASS:class}\.%{JAVAMETHOD:method}"
+        r"\(%{JAVAFILE:file}(?::%{NONNEGINT:line})?\)"
     ),
     # full-line syslog composites (linux-syslog pattern file shape):
     # SYSLOGBASE2 admits either the classic or ISO8601 timestamp

@@ -567,3 +567,59 @@ def test_grok_httpd_errorlog(spark):
     e2 = got["caught SIGTERM, shutting down"]
     assert (e2["loglevel"], e2["clientip"]) == ("notice", None)
     assert None in got  # containment row: every field null
+
+
+def test_grok_java_and_httpd24():
+    """Java stacktrace-frame family and the 2.4-era httpd error-log
+    composite match/reject canonical shapes as plain regex."""
+    import re
+
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_to_regex
+
+    cases = {
+        "%{JAVACLASS}": (
+            ["org.apache.spark.sql.Dataset", "Main", "com.x.Y$Inner"],
+            ["org..x", ".leading"],
+        ),
+        "%{JAVASTACKTRACEPART}": (
+            ["\tat org.example.App.run(App.java:42)",
+             "  at com.x.Y.<init>(Y.java)"],
+            ["at org.example.App.run(App.java:42)"],  # needs leading ws
+        ),
+        "%{HTTPD24_ERRORLOG}": (
+            ["[Tue Jan 21 14:03:07 2025] [core:error] [pid 1234:tid 5678]"
+             " [client 10.0.0.1:54321] AH00124: Request exceeded limits",
+             "[Tue Jan 21 14:03:07 2025] [:warn] [pid 99] some message"],
+            ["[Tue Jan 21 14:03:07 2025] [error] no pid section"],
+        ),
+        "%{EMAILLOCALPART}": (["john.doe", "a9+b"], ["9starts"]),
+    }
+    for grok, (good, bad) in cases.items():
+        rx, _ = grok_to_regex(grok)
+        full = re.compile(rx + r"\Z")
+        for s in good:
+            assert full.match(s), f"{grok} should match {s!r}"
+        for s in bad:
+            assert not full.match(s), f"{grok} should reject {s!r}"
+
+
+def test_grok_httpd24_fields(spark):
+    """HTTPD24_ERRORLOG end-to-end: module/tid/client optional parts,
+    typed pid."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    lines = [
+        "[Tue Jan 21 14:03:07 2025] [proxy:error] [pid 10:tid 20]"
+        " [client 10.0.0.9:1234] upstream timed out",
+        "[Tue Jan 21 14:03:08 2025] [:notice] [pid 11] graceful restart",
+    ]
+    df = spark.createDataFrame([(s,) for s in lines], "text string")
+    got = {
+        r["pid"]: r
+        for r in grok_parse(
+            df, "%{HTTPD24_ERRORLOG}", types={"pid": "long"}, single_pass=True
+        ).collect()
+    }
+    assert got[10]["module"] == "proxy" and got[10]["clientip"] == "10.0.0.9"
+    assert got[11]["module"] is None and got[11]["clientip"] is None
+    assert got[11]["loglevel"] == "notice"
