@@ -54,22 +54,45 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _exploded_shingles(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """(id, *extra, _s) — one row per raw shingle-STRING occurrence:
+    the single tokenize→shingle→explode pipeline every shingle
+    consumer (signatures, fingerprints, Jaccard sets, blocking keys)
+    builds on, so tokenization/seed changes can never diverge between
+    them. ``extra`` columns (e.g. a whole-doc fingerprint) are
+    computed once in the pre-explode projection and carried as plain
+    values through the explode."""
+    extra = extra or {}
+    toks = ensure_compute_parallelism(df).select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in extra.items()],
+        word_tokens(F.col(text_col)).alias("_toks"),
+    )
+    sh = toks.select(
+        F.col(id_col), *extra, shingles(F.col("_toks"), shingle_n).alias("_sh")
+    )
+    # explode_outer: shingles() always yields >=1 element, so OUTER is
+    # semantically identical — but plain explode plans a pushed-down
+    # `size(_sh) > 0` Filter whose condition INLINES the whole
+    # tokenize+shingle expression once per reference (measured 9
+    # regexp_extract_all sites per row); outer explode plans none.
+    return sh.select(F.col(id_col), *extra, F.explode_outer("_sh").alias("_s"))
+
+
 def _exploded_shingle_hashes(
     df: DataFrame, *, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
     """(id, _h60) — one row per shingle occurrence, md5 as a codegen'd
     scalar. Shingle construction stays an (interpreted but cheap)
     array expression; the expensive digest runs post-explode."""
-    toks = ensure_compute_parallelism(df).select(
-        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
-    )
-    sh = toks.select(F.col(id_col), shingles(F.col("_toks"), shingle_n).alias("_sh"))
-    # explode_outer: shingles() always yields >=1 element, so OUTER is
-    # semantically identical — but plain explode plans a pushed-down
-    # `size(_sh) > 0` Filter whose condition INLINES the whole
-    # tokenize+shingle expression once per reference (measured 9
-    # regexp_extract_all sites per row); outer explode plans none.
-    ex = sh.select(F.col(id_col), F.explode_outer("_sh").alias("_s"))
+    ex = _exploded_shingles(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
     return ex.select(F.col(id_col), _hash60(F.col("_s")).alias("_h60"))
 
 
@@ -312,13 +335,10 @@ def fingerprint_near_dup(
     for "find the heavy near-identical clusters cheaply" passes.
     ``max_bucket`` caps identical-doc flood blocks as in
     lsh_candidate_pairs."""
-    toks = ensure_compute_parallelism(df).select(
-        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
-    )
-    ex = toks.select(
-        F.col(id_col), F.explode_outer(shingles(F.col("_toks"), shingle_n)).alias("_s")
-    )
+    ex = _exploded_shingles(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
     per_doc = ex.groupBy(id_col).agg(
+        # the SAME winnow value doc_fingerprints emits — shared explode
+        # + shared seed, so blocking keys agree with stored fingerprints
         F.min(seeded_md5(F.col("_s"), 0)).alias("winnow_fp"),
         F.collect_set(_hash60(F.col("_s"))).alias("_sset"),
     )
@@ -543,15 +563,13 @@ def doc_fingerprints(
     codegen'd post-explode."""
     from ..functions.hashing import poly_fingerprint
 
-    toks = ensure_compute_parallelism(df).select(
-        F.col(id_col),
-        poly_fingerprint(F.col(text_col)).alias("poly_fp"),
-        word_tokens(F.col(text_col)).alias("_toks"),
+    ex = _exploded_shingles(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        extra={"poly_fp": poly_fingerprint(F.col(text_col))},
     )
-    pre = toks.select(
-        F.col(id_col), "poly_fp", shingles(F.col("_toks"), shingle_n).alias("_sh")
-    )
-    ex = pre.select(F.col(id_col), "poly_fp", F.explode_outer("_sh").alias("_s"))
     return ex.groupBy(id_col).agg(
         F.first("poly_fp").alias("poly_fp"),
         F.min(seeded_md5(F.col("_s"), 0)).alias("winnow_fp"),

@@ -59,6 +59,14 @@ def asof_enrich(
     struct). Mirrors DuckDB/kdb ``ASOF JOIN`` semantics, which is
     exactly what the oracle uses."""
     attrs = [c for c in dim.columns if c not in (on, dim_ts_col)]
+    clash = sorted(set(attrs) & set(df.columns))
+    if clash:
+        # fail at construction, not as an AMBIGUOUS_REFERENCE far
+        # downstream: the output is df.* + the dim attributes
+        raise ValueError(
+            f"asof_enrich: dim attribute column(s) {clash} collide with "
+            "fact columns; alias the dim attributes before enriching"
+        )
     versions = dim.groupBy(on).agg(
         F.sort_array(
             F.collect_list(

@@ -58,39 +58,60 @@ from pyspark.sql import functions as F
 _SUMMARY_SCHEMA = "_hh_key string, _hh_cnt long"
 
 
+def mg_fold(counts: dict, dec: int, items, capacity: int) -> tuple[dict, int]:
+    """The Misra-Gries fold shared by the batch operator and the
+    streaming top-talkers state (streaming/stateful.py): merge
+    (key, weight) items into the summary, then prune to EXACTLY
+    ``capacity`` entries when exceeded.
+
+    Batched decrement: subtract the (capacity+1)-th largest residual d
+    from the ``capacity`` largest keys (ties broken by key asc, so the
+    survivor set is deterministic) and drop the rest — the defining
+    (capacity+1)-th key is always dropped, so each round removes
+    >= (capacity+1)*d mass and the classic sum(d) <= n/(capacity+1)
+    bound holds. Survivors keep residual >= 0 INCLUDING zeros: an
+    all-ties/low-skew input therefore still yields a full candidate
+    set (capacity keys) rather than a silently empty summary — the
+    exact-verify phase recounts candidates anyway, and the per-key
+    invariant (residual <= true <= residual + dec; absent => true <=
+    dec) is unchanged by keeping zero-residual keys."""
+    for kv, c in items:
+        counts[kv] = counts.get(kv, 0) + int(c)
+    if len(counts) > capacity:
+        d = sorted(counts.values(), reverse=True)[capacity]
+        dec += d
+        survivors = sorted(counts.items(), key=lambda kc: (-kc[1], kc[0]))[:capacity]
+        counts = {kk: vv - d for kk, vv in survivors}
+    return counts, dec
+
+
 def _mg_merge_batches(
     batches: Iterator, key_name: str, weight_name: str | None, capacity: int
 ):
-    """Shared MG core: fold batches of raw keys (weight 1 each) or of
-    weighted summary rows into one bounded summary. Yields one final
-    pandas frame: surviving (key, residual_count) rows plus a single
-    null-key row carrying the accumulated decrement total (the miss
-    bound contribution). Null keys in weighted input are prior
-    decrement rows and fold into the bound, not the summary."""
+    """Arrow-batch driver around :func:`mg_fold` for raw keys (weight 1
+    each) or weighted summary rows. Yields one final pandas frame:
+    surviving (key, residual_count) rows plus a single null-key row
+    carrying the accumulated decrement total (the miss bound
+    contribution). Null keys in weighted input are prior decrement
+    rows and fold into the bound, not the summary."""
     import pandas as pd
 
     counts: dict = {}
     dec_total = 0
     for pdf in batches:
         if weight_name is None:
-            vc = pdf[key_name].dropna().value_counts()
-            items = vc.items()
+            items = pdf[key_name].dropna().value_counts().items()
         else:
             keys = pdf[key_name]
             wts = pdf[weight_name]
             dec_total += int(wts[keys.isna()].sum())
-            grp = pdf.loc[keys.notna()].groupby(key_name, sort=False)[weight_name].sum()
-            items = grp.items()
-        for kv, c in items:
-            counts[kv] = counts.get(kv, 0) + int(c)
-        if len(counts) > capacity:
-            # Batched Misra-Gries decrement: subtract the
-            # (capacity+1)-th largest residual from everything at once
-            # — removes >= (capacity+1)*d mass, so the classic
-            # sum(d) <= n/(capacity+1) bound holds per round.
-            d = sorted(counts.values(), reverse=True)[capacity]
-            dec_total += d
-            counts = {kk: vv - d for kk, vv in counts.items() if vv > d}
+            items = (
+                pdf.loc[keys.notna()]
+                .groupby(key_name, sort=False)[weight_name]
+                .sum()
+                .items()
+            )
+        counts, dec_total = mg_fold(counts, dec_total, items, capacity)
     yield pd.DataFrame(
         {
             "_hh_key": list(counts.keys()) + [None],

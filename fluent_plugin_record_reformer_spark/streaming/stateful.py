@@ -113,10 +113,12 @@ TALKER_STATE_SCHEMA = "keys array<string>, cnts array<long>, dec long"
 def make_top_talker_fn(k: int, capacity: int):
     """Per-group Misra-Gries state folded batch-by-batch (vectorized
     ``value_counts``, per-distinct-key merges — never per-row Python),
-    emitting the group's current top-k each trigger. Same algorithm and
-    error contract as ``operators/frequency.py``: a key's true count in
-    the group lies in [est_cnt, est_cnt + max_err], and a key absent
-    from state has true count <= max_err."""
+    emitting the group's current top-k each trigger. THE SAME fold as
+    the batch operator (``operators/frequency.mg_fold`` — one
+    implementation, one error contract): a key's true count in the
+    group lies in [est_cnt, est_cnt + max_err], and a key absent from
+    state has true count <= max_err."""
+    from ..operators.frequency import mg_fold
 
     def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         (grp,) = key
@@ -126,13 +128,9 @@ def make_top_talker_fn(k: int, capacity: int):
             keys, cnts, dec = state.get
             counts = dict(zip(keys, cnts))
         for pdf in batches:
-            vc = pdf["key"].dropna().value_counts()
-            for kv, c in vc.items():
-                counts[kv] = counts.get(kv, 0) + int(c)
-            if len(counts) > capacity:
-                d = sorted(counts.values(), reverse=True)[capacity]
-                dec += d
-                counts = {kk: vv - d for kk, vv in counts.items() if vv > d}
+            counts, dec = mg_fold(
+                counts, dec, pdf["key"].dropna().value_counts().items(), capacity
+            )
         state.update((list(counts), [int(v) for v in counts.values()], dec))
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         yield pd.DataFrame(

@@ -127,7 +127,8 @@ def test_heavy_hitters_plan_shape(spark):
     partial top-k), not a global sort."""
     df = _zipf_df(spark, n_keys=30, base=300, parts=4)
     plan = heavy_hitters(df, "key", k=5, capacity=64)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
 
@@ -141,3 +142,19 @@ def test_heavy_hitters_multi_partition_merge(spark):
     got = heavy_hitters(df, "key", k=6, capacity=32, merge_partitions=3).collect()
     assert [(r["key"], r["cnt"]) for r in got] == _exact_topk(df, 6)
     assert got[0]["provably_exact"]
+
+
+def test_heavy_hitters_low_skew_still_returns_k(spark):
+    """Regression (code-review finding): near-uniform frequencies with
+    capacity << distinct used to empty the Misra-Gries summary and
+    silently return ZERO rows. The prune now keeps exactly `capacity`
+    survivors (zero residuals included), so top-k always comes back —
+    counts exact (recounted), provability honestly reported per row."""
+    rows = [(f"u{i:03d}",) for i in range(50)]  # every key exactly once
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    got = heavy_hitters(df, "key", k=5, capacity=8).collect()
+    assert len(got) == 5
+    truth = dict(_exact_topk(df, 50))
+    for r in got:
+        assert truth[r["key"]] == r["cnt"] == 1
+        assert not r["provably_exact"]  # 1 <= miss bound here — honest

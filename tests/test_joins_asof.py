@@ -200,3 +200,13 @@ def test_bucketed_range_join_span_guard(spark):
         ).count()
         > 0
     )
+
+
+def test_asof_enrich_rejects_colliding_attr_names(spark, facts, versions):
+    import pytest as _pytest
+
+    bad_dim = versions.withColumnRenamed("tier", "ts")  # collides with fact ts
+    with _pytest.raises(ValueError, match="collide with\\s+fact columns"):
+        asof_enrich(
+            facts, bad_dim, on="tool", ts_col="ts", dim_ts_col="effective_from"
+        )
