@@ -288,6 +288,20 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel per user (strictly ordered
+    timestamps) via the single-scan array-fold funnel operator
+    (operators/aggregate.funnel_stages); the oracle reaches the same
+    counts through the staged-min CTE formulation — the two are
+    provably the same greedy."""
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        funnel_stages,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
 def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window event rates in batch: 6-hour windows every 3
     hours via ``F.window`` (size = 2x slide, so each event lands in
@@ -1172,6 +1186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_rollup": q_time_rollup,
     "sink_top_talkers": q_sink_top_talkers,
     "sliding_rate": q_sliding_rate,
+    "funnel": q_funnel,
 }
 
 
@@ -1513,6 +1528,23 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     )
     SELECT tool, tier, CAST(count(*) AS BIGINT) AS n_turns
     FROM j GROUP BY 1, 2
+    """,
+    "funnel": """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    )
+    SELECT CAST(1 AS INTEGER) AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), CAST(count(*) AS BIGINT) FROM s3
     """,
     "sliding_rate": """
     WITH e AS (

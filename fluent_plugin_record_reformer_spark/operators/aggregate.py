@@ -200,3 +200,72 @@ def salted_agg(
         merge_exprs.append(merge(F.col(f"__p_{out}")).alias(out))
     phase1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
     return phase1.groupBy(*keys).agg(*merge_exprs)
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis: how many users completed step 1, steps 1-2,
+    ... steps 1-N IN ORDER (strictly increasing timestamps), as
+    (stage, n_users) rows with n_1 >= n_2 >= ... >= n_N.
+
+    Semantics (the standard earliest-completion greedy, provably
+    equivalent to the staged-min formulation the oracle runs):
+    t_1 = min ts of step 1; t_k = min ts of step k with ts > t_{k-1};
+    a user's reached stage is the largest k with t_k defined.
+
+    Scale shape — ONE scan, ONE shuffle: events filtered to the step
+    types, collected per user as a time-sorted (ts, type) array, and
+    folded left-to-right with an (stage, last_ts) accumulator. The
+    fold is an interpreted HOF but runs over one user's bounded event
+    array (the same per-key-array trade as asof_enrich); the
+    alternative staged-join formulation scans and shuffles the event
+    table once PER STEP. Equal timestamps never advance a stage
+    (strict >), so array_sort tie order cannot affect the result.
+    Stage counts come from exploding sequence(1, stage) — each user
+    contributes one row per completed stage, partial-aggregated."""
+    steps = list(steps)
+    n = len(steps)
+    if n == 0:
+        raise ValueError("funnel_stages: steps must be non-empty")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_et"),
+    )
+    arr = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct("_ts", "_et"))).alias("_a")
+    )
+    zero = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("timestamp").alias("t"),
+    )
+
+    def fold(acc, x):
+        # CASE WHEN evaluates lazily, guarding element_at past the end
+        nxt = F.when(
+            acc["stage"] < F.lit(n), F.element_at(steps_arr, acc["stage"] + 1)
+        )
+        adv = (
+            nxt.isNotNull()
+            & (x["_et"] == nxt)
+            & (acc["t"].isNull() | (x["_ts"] > acc["t"]))
+        )
+        return F.when(
+            adv,
+            F.struct((acc["stage"] + 1).cast("int").alias("stage"), x["_ts"].alias("t")),
+        ).otherwise(acc)
+
+    reached = arr.select(F.aggregate("_a", zero, fold)["stage"].alias("_stage"))
+    return (
+        reached.filter(F.col("_stage") > 0)
+        .select(F.explode(F.sequence(F.lit(1), F.col("_stage"))).alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
