@@ -1532,7 +1532,8 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     "funnel": """
     WITH s1 AS (
       SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY 1
+      WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
     ), s2 AS (
       SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1

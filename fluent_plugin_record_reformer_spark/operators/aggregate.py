@@ -228,13 +228,23 @@ def funnel_stages(
     table once PER STEP. Equal timestamps never advance a stage
     (strict >), so array_sort tie order cannot affect the result.
     Stage counts come from exploding sequence(1, stage) — each user
-    contributes one row per completed stage, partial-aggregated."""
+    contributes one row per completed stage, partial-aggregated —
+    left-joined to the full 1..N stage list so an uncompleted stage
+    reports (stage, 0) rather than vanishing.
+
+    Null semantics, matched exactly by the oracle's staged-min CTEs:
+    rows with a null user or null timestamp are excluded (a funnel is
+    undefined without an identity or an order)."""
     steps = list(steps)
     n = len(steps)
     if n == 0:
         raise ValueError("funnel_stages: steps must be non-empty")
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    ev = df.filter(F.col(type_col).isin(steps)).select(
+    ev = df.filter(
+        F.col(type_col).isin(steps)
+        & F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col),
         F.col(ts_col).alias("_ts"),
         F.col(type_col).alias("_et"),
@@ -242,9 +252,10 @@ def funnel_stages(
     arr = ev.groupBy(user_col).agg(
         F.array_sort(F.collect_list(F.struct("_ts", "_et"))).alias("_a")
     )
-    zero = F.struct(
+    ts_type = df.schema[ts_col].dataType  # keep the when-branch struct
+    zero = F.struct(                      # types aligned for any ts dtype
         F.lit(0).cast("int").alias("stage"),
-        F.lit(None).cast("timestamp").alias("t"),
+        F.lit(None).cast(ts_type).alias("t"),
     )
 
     def fold(acc, x):
@@ -263,9 +274,15 @@ def funnel_stages(
         ).otherwise(acc)
 
     reached = arr.select(F.aggregate("_a", zero, fold)["stage"].alias("_stage"))
-    return (
+    counts = (
         reached.filter(F.col("_stage") > 0)
         .select(F.explode(F.sequence(F.lit(1), F.col("_stage"))).alias("stage"))
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    all_stages = df.sparkSession.range(1, n + 1).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    return all_stages.join(F.broadcast(counts), "stage", "left").select(
+        "stage", F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users")
     )

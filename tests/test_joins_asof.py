@@ -210,39 +210,3 @@ def test_asof_enrich_rejects_colliding_attr_names(spark, facts, versions):
         asof_enrich(
             facts, bad_dim, on="tool", ts_col="ts", dim_ts_col="effective_from"
         )
-
-
-def test_funnel_stage_semantics(spark):
-    """Hand-crafted sequences: in-order completion, out-of-order steps
-    never count, repeated steps use the earliest valid occurrence,
-    equal timestamps never advance (strict >)."""
-    import datetime as _dt
-
-    from fluent_plugin_record_reformer_spark.operators.aggregate import (
-        funnel_stages,
-    )
-
-    t0 = _dt.datetime(2024, 1, 1)
-
-    def m(minutes):
-        return t0 + _dt.timedelta(minutes=minutes)
-
-    rows = [
-        # u1: full funnel in order -> stage 3
-        (1, m(0), "view"), (1, m(1), "click"), (1, m(2), "purchase"),
-        # u2: purchase BEFORE click -> stage 2 only
-        (2, m(0), "view"), (2, m(1), "purchase"), (2, m(2), "click"),
-        # u3: click at the SAME instant as view -> strict > blocks it
-        (3, m(0), "view"), (3, m(0), "click"),
-        # u4: noise steps ignored; late click after early irrelevant one
-        (4, m(5), "view"), (4, m(1), "click"), (4, m(9), "click"),
-        # u5: never views -> stage 0 (no rows)
-        (5, m(0), "click"), (5, m(1), "purchase"),
-    ]
-    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
-    got = {
-        r["stage"]: r["n_users"]
-        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
-    }
-    # stage1: u1,u2,u3,u4 ; stage2: u1,u2,u4 ; stage3: u1
-    assert got == {1: 4, 2: 3, 3: 1}

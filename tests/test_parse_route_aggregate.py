@@ -623,3 +623,62 @@ def test_grok_httpd24_fields(spark):
     assert got[10]["module"] == "proxy" and got[10]["clientip"] == "10.0.0.9"
     assert got[11]["module"] is None and got[11]["clientip"] is None
     assert got[11]["loglevel"] == "notice"
+
+
+def test_funnel_stage_semantics(spark):
+    """Hand-crafted sequences: in-order completion, out-of-order steps
+    never count, repeated steps use the earliest valid occurrence,
+    equal timestamps never advance (strict >), null users/timestamps
+    are excluded, and an uncompleted stage reports (stage, 0) instead
+    of vanishing."""
+    import datetime as _dt
+
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        funnel_stages,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + _dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: full funnel in order -> stage 3
+        (1, m(0), "view"), (1, m(1), "click"), (1, m(2), "purchase"),
+        # u2: purchase BEFORE click -> stage 2 only
+        (2, m(0), "view"), (2, m(1), "purchase"), (2, m(2), "click"),
+        # u3: click at the SAME instant as view -> strict > blocks it
+        (3, m(0), "view"), (3, m(0), "click"),
+        # u4: noise steps ignored; late click after early irrelevant one
+        (4, m(5), "view"), (4, m(1), "click"), (4, m(9), "click"),
+        # u5: never views -> stage 0 (no rows)
+        (5, m(0), "click"), (5, m(1), "purchase"),
+        # null user / null ts: excluded entirely (would otherwise
+        # funnel as a phantom group / advance without an order)
+        (None, m(0), "view"), (None, m(1), "click"),
+        (6, None, "view"), (6, m(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
+    }
+    # stage1: u1,u2,u3,u4 ; stage2: u1,u2,u4 ; stage3: u1
+    assert got == {1: 4, 2: 3, 3: 1}
+
+
+def test_funnel_uncompleted_stage_reports_zero(spark):
+    import datetime as _dt
+
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        funnel_stages,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "view"), (2, t0, "view")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 0}
