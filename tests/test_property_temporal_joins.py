@@ -124,3 +124,50 @@ def test_asof_enrich_matches_python_asof(spark, facts, versions):
         eligible = [(vm, f"tier-{vk}-{vm}") for vk, vm in versions if vk == k and vm <= m]
         want = max(eligible)[1] if eligible else None
         assert got[i] == want, (i, k, m)
+
+
+funnel_event_st = st.tuples(
+    st.integers(min_value=0, max_value=5),  # user
+    st.integers(min_value=0, max_value=120),  # minute
+    st.sampled_from(["view", "click", "purchase", "noise"]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(events=st.lists(funnel_event_st, min_size=1, max_size=60))
+def test_funnel_matches_python_greedy(spark, events):
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        funnel_stages,
+    )
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(u, _t(m), et) for u, m, et in events],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(df, steps).collect()
+    }
+    # python reference: per user, earliest-completion greedy with
+    # strict > on the (minute, type)-sorted sequence (sort tie order
+    # is immaterial because equal times never advance)
+    reach: dict[int, int] = {}
+    for u in {u for u, _, _ in events}:
+        seq = sorted((m, et) for uu, m, et in events if uu == u)
+        stage, last = 0, None
+        for m, et in seq:
+            if stage < len(steps) and et == steps[stage] and (
+                last is None or m > last
+            ):
+                stage, last = stage + 1, m
+        reach[u] = stage
+    want = {
+        k: sum(1 for s in reach.values() if s >= k)
+        for k in range(1, len(steps) + 1)
+    }
+    assert got == want
