@@ -759,6 +759,97 @@ def q_rfc5424_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_postfix_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth construct-then-parse-back grok gate (VERDICT r4 #8):
+    application-level MTA composite. Build postfix smtp-delivery lines
+    ("<syslog head> QUEUEID: to=<rcpt>, relay=host[ip]:port,
+    delay=D.DD, status=sent (...)") from the events table, parse with
+    ``%{POSTFIX_SMTP_DELIVERY}`` (13 fields: SYSLOGBASE head +
+    queueid/recipient/relay triple/delay/status/response), aggregate
+    the PARSED fields. Oracle recomputes everything from the ORIGINAL
+    columns; delay crosses the boundary as exact integer cents."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    ev = load_table(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type").isin("view", "click"), "sent")
+        .when(F.col("event_type") == "purchase", "deferred")
+        .when(F.col("event_type") == "signup", "bounced")
+        .otherwise("expired")
+    )
+    line = F.format_string(
+        "%s host%d postfix/smtp[%d]: %s: to=<user%d@example.com>, "
+        "relay=mx%d.example.net[10.0.%d.%d]:25, delay=%d.%02d, status=%s (ok)",
+        F.date_format("ts", "MMM d HH:mm:ss"),
+        F.pmod(F.col("user_id"), F.lit(50)),
+        (F.pmod(F.col("event_id"), F.lit(30000)) + 1).cast("int"),
+        # hex(event_id + 0x100000) is always >= 6 uppercase hex chars,
+        # satisfying the POSTFIX_QUEUEID alternation
+        F.hex(F.col("event_id") + F.lit(1048576)),
+        F.pmod(F.col("user_id"), F.lit(1000)),
+        F.pmod(F.col("event_id"), F.lit(5)),
+        F.pmod(F.col("event_id"), F.lit(256)),
+        F.pmod(F.col("user_id"), F.lit(256)),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int"),
+        F.pmod(F.col("event_id"), F.lit(100)).cast("int"),
+        status,
+    )
+    parsed = grok_parse(
+        ev.select(line.alias("text")),
+        "%{POSTFIX_SMTP_DELIVERY}",
+        types={"pid": "long", "delay": "decimal(18,2)"},
+        single_pass=True,  # 13 fields -> one regex pass per row
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("recipient").alias("n_recipients"),
+        F.countDistinct("queueid").alias("n_queueids"),
+        F.countDistinct("relayip").alias("n_relays"),
+        (F.sum("delay") * 100).cast("long").alias("sum_delay_cents"),
+        F.sum("pid").alias("sum_pid"),
+        F.countDistinct("logsource").alias("n_hosts"),
+        F.min("timestamp").alias("first_ts"),
+        F.count("response").alias("n_resp"),
+    )
+
+
+def q_tomcat_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth construct-then-parse-back grok gate: the Java app-server
+    family. Build Tomcat-format lines ("2024-01-15 12:34:56+00:00 |
+    INFO | com.example.App - msg") from events, parse with
+    ``%{TOMCATLOG}`` (TOMCAT_DATESTAMP's ``20%{YEAR}`` prefix +
+    ISO8601_TIMEZONE, LOGLEVEL alternation, JAVACLASS dotted path),
+    aggregate the PARSED fields against an original-column oracle."""
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
+
+    ev = load_table(spark, sf_dir, "events")
+    level = (
+        F.when(F.col("event_type") == "view", "INFO")
+        .when(F.col("event_type") == "click", "DEBUG")
+        .when(F.col("event_type") == "purchase", "WARN")
+        .when(F.col("event_type") == "signup", "ERROR")
+        .otherwise("FATAL")
+    )
+    line = F.format_string(
+        # TOMCAT_DATESTAMP takes the tz AFTER a space ("...28,269 -0800")
+        "%s +00:00 | %s | com.example.svc.Handler%d - user=%d action=%s",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        level,
+        F.pmod(F.col("event_id"), F.lit(7)),
+        F.pmod(F.col("user_id"), F.lit(100)),
+        F.col("event_type"),
+    )
+    parsed = grok_parse(
+        ev.select(line.alias("text")), "%{TOMCATLOG}", single_pass=True
+    )
+    return parsed.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("class").alias("n_classes"),
+        F.countDistinct("logmessage").alias("n_msgs"),
+        F.min("timestamp").alias("first_ts"),
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals per document (duplicated
     token / 2-gram / 3-gram occurrence counts + the boilerplate flag)
@@ -1178,6 +1269,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apache_logs": q_apache_logs,
     "syslog_logs": q_syslog_logs,
     "rfc5424_logs": q_rfc5424_logs,
+    "postfix_logs": q_postfix_logs,
+    "tomcat_logs": q_tomcat_logs,
     "repetition": q_repetition,
     "heavy_hitters": q_heavy_hitters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1712,6 +1805,34 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
              AS n_sd,
            min(strftime(ts, '%Y-%m-%dT%H:%M:%SZ')) AS first_ts,
            CAST(count(*) AS BIGINT) AS n_msgs
+    FROM events GROUP BY 1
+    """,
+    "postfix_logs": """
+    SELECT CASE event_type WHEN 'view' THEN 'sent' WHEN 'click' THEN 'sent'
+                WHEN 'purchase' THEN 'deferred' WHEN 'signup' THEN 'bounced'
+                ELSE 'expired' END AS status,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT user_id % 1000) AS BIGINT) AS n_recipients,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_queueids,
+           CAST(count(DISTINCT printf('10.0.%d.%d', event_id % 256,
+                user_id % 256)) AS BIGINT) AS n_relays,
+           CAST(sum((event_id % 20) * 100 + event_id % 100) AS BIGINT)
+             AS sum_delay_cents,
+           CAST(sum(event_id % 30000 + 1) AS BIGINT) AS sum_pid,
+           CAST(count(DISTINCT user_id % 50) AS BIGINT) AS n_hosts,
+           min(strftime(ts, '%b %-d %H:%M:%S')) AS first_ts,
+           CAST(count(*) AS BIGINT) AS n_resp
+    FROM events GROUP BY 1
+    """,
+    "tomcat_logs": """
+    SELECT CASE event_type WHEN 'view' THEN 'INFO' WHEN 'click' THEN 'DEBUG'
+                WHEN 'purchase' THEN 'WARN' WHEN 'signup' THEN 'ERROR'
+                ELSE 'FATAL' END AS level,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT event_id % 7) AS BIGINT) AS n_classes,
+           CAST(count(DISTINCT printf('user=%d action=%s', user_id % 100,
+                event_type)) AS BIGINT) AS n_msgs,
+           min(strftime(ts, '%Y-%m-%d %H:%M:%S') || ' +00:00') AS first_ts
     FROM events GROUP BY 1
     """,
     "decontaminate": f"""

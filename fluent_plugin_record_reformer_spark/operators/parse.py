@@ -187,6 +187,53 @@ GROK_PATTERNS: dict[str, str] = {
         r"%{SYSLOG5424SD:syslog5424_sd}"
     ),
     "SYSLOG5424LINE": r"%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
+    # -- application-level composites (VERDICT r4 #8): MTA (postfix /
+    # exim mainlog), Java app-server (Tomcat/Catalina), and cron lines,
+    # re-expressing the widely-used public grok contrib shapes with
+    # every alternation non-capturing (the fields<->group invariant) --
+    "POSTFIX_QUEUEID": r"(?:[0-9A-F]{6,}|[0-9a-zA-Z]{12,}|NOQUEUE)",
+    "POSTFIX_RELAY": r"%{IPORHOST:relayhost}\[%{IP:relayip}\](?::%{PORT:relayport})?",
+    # the canonical smtp-delivery line: "<syslog head> QUEUEID:
+    # to=<rcpt>, relay=host[ip]:port, delay=1.23, status=sent (...)"
+    "POSTFIX_SMTP_DELIVERY": (
+        r"%{SYSLOGBASE} %{POSTFIX_QUEUEID:queueid}: "
+        r"to=<%{EMAILADDRESS:recipient}>, relay=%{POSTFIX_RELAY}, "
+        r"delay=%{BASE10NUM:delay}, status=%{WORD:status}(?: %{GREEDYDATA:response})?"
+    ),
+    # exim mainlog family (public exim grok file shapes)
+    "EXIM_MSGID": r"[0-9A-Za-z]{6}-[0-9A-Za-z]{6}-[0-9A-Za-z]{2}",
+    "EXIM_FLAGS": r"(?:<=|[-=>*]>|[*]{2}|==)",
+    "EXIM_DATE": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{TIME}",
+    "EXIM_QT": r"(?:\d+y)?(?:\d+w)?(?:\d+d)?(?:\d+h)?(?:\d+m)?(?:\d+s)?",
+    # mainlog delivery/arrival line: "<date> <msgid> <flag> <addr>
+    # R=router T=transport S=size"
+    "EXIMLINE": (
+        r"%{EXIM_DATE:timestamp} %{EXIM_MSGID:msgid} %{EXIM_FLAGS:flags} "
+        r"%{EMAILADDRESS:address}(?: R=%{WORD:router})?(?: T=%{WORD:transport})?"
+        r"(?: S=%{NONNEGINT:size})?"
+    ),
+    # Java app-server logs (public grok java file; JAVALOGMESSAGE is
+    # `(.*)` upstream — written bare `.*` here, see invariant above)
+    "JAVALOGMESSAGE": r".*",
+    "CATALINA_DATESTAMP": (
+        r"%{MONTH} %{MONTHDAY}, 20%{YEAR} %{HOUR}:?%{MINUTE}(?::?%{SECOND})"
+        r" (?:AM|PM)"
+    ),
+    "TOMCAT_DATESTAMP": (
+        r"20%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:?%{MINUTE}(?::?%{SECOND})"
+        r" %{ISO8601_TIMEZONE}"
+    ),
+    "CATALINALOG": (
+        r"%{CATALINA_DATESTAMP:timestamp} %{JAVACLASS:class} "
+        r"%{JAVALOGMESSAGE:logmessage}"
+    ),
+    "TOMCATLOG": (
+        r"%{TOMCAT_DATESTAMP:timestamp} \| %{LOGLEVEL:level} \| "
+        r"%{JAVACLASS:class} - %{JAVALOGMESSAGE:logmessage}"
+    ),
+    # cron lines (public linux-syslog grok file shape)
+    "CRON_ACTION": r"[A-Z ]+",
+    "CRONLOG": r"%{SYSLOGBASE} \(%{USER:user}\) %{CRON_ACTION:action} \(%{DATA:message}\)",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
@@ -251,7 +298,16 @@ def grok_to_regex(
     # It holds iff the ONLY capture groups are the named-field parens we
     # emit — a bare `(...)` smuggled in via a pattern body or
     # pattern_definitions would silently shift every later field.
-    n_groups = re.compile(rx).groups
+    try:
+        n_groups = re.compile(rx).groups
+    except re.error:
+        # The invariant check uses Python's re, but extraction runs on
+        # the JVM: user pattern_definitions may legitimately use
+        # Java-only syntax (possessive quantifiers `a*+`, `\p{...}`
+        # classes) that Python can't compile (ADVICE r4). Skip the
+        # assert rather than reject a pattern the JVM path accepts —
+        # the caller owns the no-bare-groups contract for such bodies.
+        return rx, fields
     if n_groups != len(fields):
         raise ValueError(
             f"grok expression compiles to {n_groups} capture groups for "
@@ -338,7 +394,12 @@ def _regex_parse_single_pass(
     regexp_replace/split evaluated once, not inlined K times."""
     k = len(fields)
     wrapped = r"\A[\s\S]*?(?:" + java_pattern + r")[\s\S]*\z"
-    template = sep.join(f"${i}" for i in range(1, k + 1))
+    # The separator is spliced into a Java replacement template, where
+    # bare `\` and `$` have meta-meaning (Matcher.quoteReplacement
+    # semantics) — escape them so ANY separator splits correctly
+    # (ADVICE r4; the regex side below is covered by re.escape).
+    sep_repl = sep.replace("\\", "\\\\").replace("$", "\\$")
+    template = sep_repl.join(f"${i}" for i in range(1, k + 1))
     joined = df.withColumn(
         "_sp_joined", F.regexp_replace(F.col(source_col), wrapped, template)
     )

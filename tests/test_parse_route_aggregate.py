@@ -682,3 +682,91 @@ def test_funnel_uncompleted_stage_reports_zero(spark):
         for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
     }
     assert got == {1: 2, 2: 0, 3: 0}
+
+
+def test_grok_app_composites():
+    """Application-level composites (postfix/exim/tomcat/catalina/cron,
+    VERDICT r4 #8) match/reject canonical line shapes as plain regex."""
+    import re
+
+    from fluent_plugin_record_reformer_spark.operators.parse import grok_to_regex
+
+    cases = {
+        "%{POSTFIX_SMTP_DELIVERY}": (
+            ["Mar 7 04:05:06 mail1 postfix/smtp[123]: 4F1A2B3C4D: "
+             "to=<bob@example.com>, relay=mx.example.net[10.1.2.3]:25, "
+             "delay=0.52, status=sent (250 2.0.0 OK)",
+             "Jan 12 23:59:60 h postfix/qmgr[1]: NOQUEUE: "
+             "to=<a@b.co>, relay=r[::1], delay=12, status=deferred"],
+            ["Mar 7 04:05:06 mail1 postfix/smtp[123]: xyz: "
+             "to=<bob@example.com>, relay=mx[1.2.3.4]:25, delay=1, "
+             "status=sent"],  # queueid too short for either alternation
+        ),
+        "%{EXIMLINE}": (
+            ["2024-03-07 04:05:06 1a2B3c-4D5e6F-Gh <= alice@example.org "
+             "R=dnslookup T=remote_smtp S=2048",
+             "2024-03-07 04:05:06 1a2B3c-4D5e6F-Gh ** bob@example.org"],
+            ["2024-03-07 04:05:06 short-id <= alice@example.org"],
+        ),
+        "%{TOMCATLOG}": (
+            ["2024-01-09 20:03:28,269 -0800 | ERROR | com.example.Svc - "
+             "oh no",
+             "2024-01-09 20:03:28 +00:00 | INFO | a.B - fine"],
+            ["1999-01-09 20:03:28 +0000 | INFO | a.B - pre-20xx year"],
+        ),
+        "%{CATALINALOG}": (
+            ["Jan 9, 2014 7:13:13 AM org.apache.catalina.startup.Catalina "
+             "start"],
+            ["Jan 9, 1914 7:13:13 AM x.Y z"],
+        ),
+        "%{CRONLOG}": (
+            ["Mar 7 04:05:01 web1 CRON[123]: (root) CMD (run-parts "
+             "/etc/cron.hourly)"],
+            ["Mar 7 04:05:01 web1 CRON[123]: (root) cmd (lowercase action)"],
+        ),
+    }
+    for grok, (good, bad) in cases.items():
+        rx, _ = grok_to_regex(grok)
+        full = re.compile(rx + r"\Z")
+        for s in good:
+            assert full.match(s), f"{grok} should match {s!r}"
+        for s in bad:
+            assert not full.match(s), f"{grok} should reject {s!r}"
+
+
+def test_grok_java_only_syntax_skips_invariant(spark):
+    """pattern_definitions using Java-only regex syntax (possessive
+    quantifiers) must not be rejected by the Python-re invariant check
+    (ADVICE r4) — the JVM extract path still parses them."""
+    from fluent_plugin_record_reformer_spark.operators.parse import (
+        grok_parse, grok_to_regex,
+    )
+
+    rx, fields = grok_to_regex(
+        "%{POSSWORD:w} %{INT:n}", pattern_definitions={"POSSWORD": r"\w*+"}
+    )
+    assert fields == ["w", "n"]
+    df = spark.createDataFrame([("abc 42",)], "text string")
+    row = grok_parse(
+        df, "%{POSSWORD:w} %{INT:n}",
+        pattern_definitions={"POSSWORD": r"\w*+"}, types={"n": "long"},
+    ).collect()[0]
+    assert row["w"] == "abc" and row["n"] == 42
+
+
+def test_single_pass_sep_with_replacement_metachars(spark):
+    """A single_pass_sep containing '$' or '\\' must survive the Java
+    replacement template (ADVICE r4): both paths agree on match and
+    no-match lines."""
+    from fluent_plugin_record_reformer_spark.operators.parse import regex_parse
+
+    df = spark.createDataFrame(
+        [("k=a v=1",), ("nope",)], "text string"
+    )
+    pat = r"k=(?P<k>\w+) v=(?P<v>\d+)"
+    plain = regex_parse(df, pat).select("text", "k", "v").collect()
+    for sep in ("$\\", "\\$1", "$2"):
+        sp = regex_parse(
+            df, pat, single_pass=True, single_pass_sep=sep
+        ).select("text", "k", "v").collect()
+        assert sorted(map(tuple, sp)) == sorted(map(tuple, plain)), sep
