@@ -360,10 +360,31 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def _emit_bench(result: dict) -> None:
+    """Print the driver-recorded metric line LAST and keep it compact.
+
+    BENCH_r04 was recorded `parsed: null`: the single metric line grew
+    past the driver's bounded tail capture once per-query best-of-3
+    spreads landed (VERDICT r4 #2). The full-fidelity artifact now goes
+    to BENCH_DETAIL.json; the printed line carries totals + per-query
+    times at 2-decimal precision (the driver only needs those), which
+    keeps it a few hundred bytes no matter how many run spreads exist.
+    """
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(result, indent=2))
+    summary = {
+        k: v
+        for k, v in result.items()
+        if k not in ("query_runs", "saturated_pipeline_sec_runs")
+    }
+    summary["queries"] = {q: round(t, 2) for q, t in result["queries"].items()}
+    summary["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(summary))
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         print(json.dumps(run_scaling_worker(CPUS, SF_DIR, REPLICATE)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
     else:
-        print(json.dumps(run_bench(CPUS, SF_DIR)))
+        _emit_bench(run_bench(CPUS, SF_DIR))

@@ -36,6 +36,7 @@ def asof_enrich(
     on: str,
     ts_col: str,
     dim_ts_col: str,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """As-of (point-in-time) enrichment against a VERSIONED dimension:
     each fact row receives the attributes of the LATEST dim version
@@ -57,9 +58,17 @@ def asof_enrich(
     Contract: version timestamps should be unique per key (ties
     resolve by the remaining attribute order inside the sorted
     struct). Mirrors DuckDB/kdb ``ASOF JOIN`` semantics, which is
-    exactly what the oracle uses."""
+    exactly what the oracle uses.
+
+    ``broadcast_dim=False`` drops the broadcast hint for a versioned
+    dim too large for executor memory (millions of keys x versions):
+    the join then shuffles BOTH sides on the key — still fan-out 1 and
+    one row per key on the dim side, just co-located by hash instead
+    of replicated (VERDICT r4 #5, mirroring ``broadcast_offsets``)."""
     attrs = [c for c in dim.columns if c not in (on, dim_ts_col)]
-    clash = sorted(set(attrs) & set(df.columns))
+    # `_versions` is this function's working column — a fact column of
+    # that name would be ambiguous at the join (ADVICE r4)
+    clash = sorted((set(attrs) | {"_versions"}) & set(df.columns))
     if clash:
         # fail at construction, not as an AMBIGUOUS_REFERENCE far
         # downstream: the output is df.* + the dim attributes
@@ -77,7 +86,9 @@ def asof_enrich(
             )
         ).alias("_versions")
     )
-    j = df.join(F.broadcast(versions), on=on, how="left")
+    if broadcast_dim:
+        versions = F.broadcast(versions)
+    j = df.join(versions, on=on, how="left")
     matched = F.filter(
         F.col("_versions"), lambda v: v["_ts"] <= F.col(ts_col)
     )

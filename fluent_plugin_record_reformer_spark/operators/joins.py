@@ -59,6 +59,14 @@ def bucketed_range_join(
     ``max_span_buckets`` bounds per-interval replication; ``None``
     disables the guard (only when spans are known-bounded upstream)."""
     b = int(bucket_seconds) * 1_000_000  # integer micros: exact floor division
+    # Inverted intervals (end < start) match nothing under BETWEEN, but
+    # would slip past the span guard (span <= 0 passes `<= max`) and
+    # F.sequence(lo, hi) with lo > hi emits a DESCENDING |lo-hi|+1
+    # element sequence — a single corrupt interval exploding into huge
+    # bucket fan-out, the exact runaway the guard exists for (ADVICE
+    # r4). Dropping them up front is semantics-preserving and also
+    # covers the max_span_buckets=None path.
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     lo = F.floor(_micros(F.col(start_col)) / F.lit(b)).cast("long")
     hi = F.floor(_micros(F.col(end_col)) / F.lit(b)).cast("long")
     span = hi - lo + F.lit(1)

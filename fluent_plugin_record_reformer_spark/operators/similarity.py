@@ -172,6 +172,14 @@ def _centroids_literal(spark, rows) -> DataFrame:
     anything to ship it to executors)."""
     import math as _math
 
+    if not rows:
+        # an empty VALUES list is a ParseException mid-training — turn
+        # the two ways it can happen (no vector has id < k; every
+        # centroid lost its members) into a clear error (ADVICE r4)
+        raise ValueError(
+            "no centroids: need at least one vector with id below k "
+            "(empty seed slice or all centroids lost their members)"
+        )
     parts = []
     for cid, vec in rows:
         for x in vec:

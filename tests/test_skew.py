@@ -193,3 +193,20 @@ def test_dup_clusters_mega_component_salted(spark):
         .count()
     )
     assert buckets.count() == 4
+
+
+def test_kmeans_empty_seed_raises_clear_error(spark):
+    """An empty seed slice (no vector id < k) must raise a clear
+    ValueError, not a VALUES-with-no-rows ParseException (ADVICE r4)."""
+    import pytest as _pytest
+
+    from fluent_plugin_record_reformer_spark.operators.similarity import (
+        train_kmeans_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(100, [0.1] * 4), (101, [0.2] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="no centroids"):
+        train_kmeans_centroids(emb, k=4, iters=1, dim=4)
