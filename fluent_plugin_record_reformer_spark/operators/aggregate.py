@@ -209,6 +209,7 @@ def funnel_stages(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_user: int | None = 1_000_000,
 ) -> DataFrame:
     """Funnel analysis: how many users completed step 1, steps 1-2,
     ... steps 1-N IN ORDER (strictly increasing timestamps), as
@@ -234,7 +235,15 @@ def funnel_stages(
 
     Null semantics, matched exactly by the oracle's staged-min CTEs:
     rows with a null user or null timestamp are excluded (a funnel is
-    undefined without an identity or an order)."""
+    undefined without an identity or an order).
+
+    ``max_events_per_user`` bounds the per-user collected array: one
+    pathological identity (a bot / load-test user) with 10^8 step
+    events would otherwise concentrate into a single giant row and
+    task. Like ``bucketed_range_join``'s span guard it fails fast
+    IN-PLAN (assert_true) — a runaway identity is an upstream bug, not
+    something to silently fold for minutes; ``None`` disables (only
+    when per-user volume is known-bounded upstream)."""
     steps = list(steps)
     n = len(steps)
     if n == 0:
@@ -273,7 +282,25 @@ def funnel_stages(
             F.struct((acc["stage"] + 1).cast("int").alias("stage"), x["_ts"].alias("t")),
         ).otherwise(acc)
 
-    reached = arr.select(F.aggregate("_a", zero, fold)["stage"].alias("_stage"))
+    stage_col = F.aggregate("_a", zero, fold)["stage"]
+    if max_events_per_user is not None:
+        guard = F.assert_true(
+            F.size("_a") <= F.lit(int(max_events_per_user)),
+            F.concat(
+                F.lit(
+                    f"funnel_stages: a single {user_col} has more than "
+                    f"{max_events_per_user} step events (bot/load-test "
+                    "identity? raise max_events_per_user or filter it); "
+                    "n_events="
+                ),
+                F.size("_a").cast("string"),
+            ),
+        )
+        # tie the guard into used arithmetic (assert_true yields NULL
+        # or throws); a when() with identical branches would be
+        # constant-folded away and silently drop the guard
+        stage_col = stage_col + F.coalesce(guard.cast("int"), F.lit(0))
+    reached = arr.select(stage_col.alias("_stage"))
     counts = (
         reached.filter(F.col("_stage") > 0)
         .select(F.explode(F.sequence(F.lit(1), F.col("_stage"))).alias("stage"))

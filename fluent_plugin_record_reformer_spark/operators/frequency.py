@@ -157,22 +157,39 @@ def heavy_hitters(
     capacity: int | None = None,
     out_count: str = "cnt",
     merge_partitions: int = 1,
+    intermediate_merge_partitions: int | None = 32,
 ) -> DataFrame:
     """Exact top-``k`` most frequent values of ``key_col`` (null keys
     excluded), as (key, count, provably_exact), ordered count desc
     with key-asc tiebreak. See the module docstring for the plan
     shape and the provability contract. Fully lazy: no driver action
-    at construction time."""
+    at construction time.
+
+    The merge is a two-level tree by default (VERDICT r4 #3): level 1
+    fans the P per-partition summaries into
+    ``intermediate_merge_partitions`` merge tasks, level 2 merges those
+    into ``merge_partitions``. A single global merge task would ingest
+    capacity+1 rows per upstream partition — fine to ~10^4 partitions,
+    a silent bounded-state violation at 10^5+. The tree is structural
+    (always on) rather than gated on the runtime partition count,
+    because discovering that count would run a job (AQE materializes
+    stages on ``.rdd``) and break construction laziness; its cost when
+    P is small is one extra exchange of <= intermediate*(capacity+1)
+    rows — noise. Pass ``intermediate_merge_partitions=None`` to get
+    the flat single-level merge."""
     if capacity is None:
         capacity = 64 * k
     if capacity < k:
         raise ValueError(f"capacity ({capacity}) must be >= k ({k})")
 
     src = df.filter(F.col(key_col).isNotNull())
+    summary = mg_summarize(src, key_col, capacity=capacity)
+    if intermediate_merge_partitions and intermediate_merge_partitions > merge_partitions:
+        summary = mg_merge(
+            summary, capacity=capacity, partitions=intermediate_merge_partitions
+        )
     summary = mg_merge(
-        mg_summarize(src, key_col, capacity=capacity),
-        capacity=capacity,
-        partitions=merge_partitions,
+        summary, capacity=capacity, partitions=merge_partitions
     )
     # One tiny aggregation row: the candidate key set (<= capacity *
     # merge_partitions entries — the same order as the broadcast below,

@@ -770,3 +770,34 @@ def test_single_pass_sep_with_replacement_metachars(spark):
             df, pat, single_pass=True, single_pass_sep=sep
         ).select("text", "k", "v").collect()
         assert sorted(map(tuple, sp)) == sorted(map(tuple, plain)), sep
+
+
+def test_funnel_hot_user_guard(spark):
+    """max_events_per_user (VERDICT r4 #4): a bot identity exceeding
+    the cap fails fast in-plan; under the cap results are unchanged."""
+    import datetime as _dt
+
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        funnel_stages,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + _dt.timedelta(seconds=i), "view") for i in range(20)]
+    rows += [(2, t0, "view"), (2, t0 + _dt.timedelta(1), "click")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    with _pytest.raises(SparkRuntimeException, match="funnel_stages"):
+        funnel_stages(
+            df, ["view", "click"], max_events_per_user=10
+        ).collect()
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(
+            df, ["view", "click"], max_events_per_user=25
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
