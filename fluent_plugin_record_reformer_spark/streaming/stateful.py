@@ -110,18 +110,26 @@ TALKER_SCHEMA = "grp string, key string, est_cnt long, max_err long, rank int"
 TALKER_STATE_SCHEMA = "keys array<string>, cnts array<long>, dec long"
 
 
-def make_top_talker_fn(k: int, capacity: int):
+def make_top_talker_fn(
+    k: int, capacity: int, capacity_by_group: dict[str, int] | None = None
+):
     """Per-group Misra-Gries state folded batch-by-batch (vectorized
     ``value_counts``, per-distinct-key merges — never per-row Python),
     emitting the group's current top-k each trigger. THE SAME fold as
     the batch operator (``operators/frequency.mg_fold`` — one
     implementation, one error contract): a key's true count in the
     group lies in [est_cnt, est_cnt + max_err], and a key absent from
-    state has true count <= max_err."""
+    state has true count <= max_err. ``capacity_by_group`` overrides
+    the default capacity for named groups (VERDICT r4 #6) — a high-
+    cardinality sink can buy a tighter error bound without raising
+    every group's state budget."""
     from ..operators.frequency import mg_fold
+
+    caps = capacity_by_group or {}
 
     def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         (grp,) = key
+        cap = int(caps.get(grp, capacity))
         counts: dict = {}
         dec = 0
         if state.exists:
@@ -129,7 +137,7 @@ def make_top_talker_fn(k: int, capacity: int):
             counts = dict(zip(keys, cnts))
         for pdf in batches:
             counts, dec = mg_fold(
-                counts, dec, pdf["key"].dropna().value_counts().items(), capacity
+                counts, dec, pdf["key"].dropna().value_counts().items(), cap
             )
         state.update((list(counts), [int(v) for v in counts.values()], dec))
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
@@ -153,6 +161,7 @@ def streaming_top_talkers(
     key_col: str,
     k: int = 10,
     capacity: int = 1024,
+    capacity_by_group: dict[str, int] | None = None,
     output_mode: str = "update",
 ) -> DataFrame:
     """Live "top talkers per sink": for each ``group_col`` value (a
@@ -175,7 +184,7 @@ def streaming_top_talkers(
         F.col(key_col).cast("string").alias("key"),
     )
     return src.groupBy("grp").applyInPandasWithState(
-        make_top_talker_fn(k, capacity),
+        make_top_talker_fn(k, capacity, capacity_by_group),
         outputStructType=TALKER_SCHEMA,
         stateStructType=TALKER_STATE_SCHEMA,
         outputMode=output_mode,

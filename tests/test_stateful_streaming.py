@@ -521,3 +521,110 @@ def test_top_talkers_crash_recovery(spark, tmp_path):
             key=lambda kc: (-kc[1], kc[0]),
         )
         assert gotg == want, grp
+
+
+def test_top_talkers_error_bound_across_kill(spark, tmp_path):
+    """VERDICT r4 #6: with distinct keys >> capacity, the [est,
+    est+max_err] contract must hold on emissions produced AFTER a kill
+    + state-store restore (the crash test above proves recovery with
+    exact counts; this one proves the lossy-summary bound composes
+    with restore). Also exercises capacity_by_group: group 'b' gets a
+    capacity above its cardinality and must come back exact."""
+    import glob as globmod
+    import os
+    import shutil
+    import time
+    from collections import Counter
+
+    from fluent_plugin_record_reformer_spark.streaming.stateful import (
+        streaming_top_talkers,
+    )
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(40):  # 40 distinct keys per group
+            rows += [(g, f"{g}-k{i:02d}")] * (120 // (i + 1))
+    truth = Counter(rows)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    df = spark.createDataFrame(rows, "grp string, key string")
+    for i in range(3):
+        staging = str(tmp_path / f"stage{i}")
+        df.filter(F.crc32(F.concat("grp", "key")) % 3 == i).coalesce(1).write.parquet(
+            staging
+        )
+        shutil.move(globmod.glob(f"{staging}/part-*.parquet")[0], f"{src}/s{i}.parquet")
+
+    raw = (
+        spark.readStream.schema("grp string, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(batch_df, bid):
+        batch_df.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(out)
+
+    def make_query(stream, trigger_now=False):
+        w = (
+            streaming_top_talkers(
+                stream, group_col="grp", key_col="key", k=8,
+                capacity=6, capacity_by_group={"b": 64},
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+        if trigger_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    q = make_query(raw)
+    commits = os.path.join(ckpt, "commits")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [
+            f
+            for f in (os.listdir(commits) if os.path.isdir(commits) else [])
+            if not f.endswith(".tmp")
+        ]
+        if len(done) >= 1:
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("no micro-batch committed within deadline")
+    q.stop()
+
+    q2 = make_query(raw, trigger_now=True)
+    assert q2.awaitTermination(180), "restarted query did not drain"
+
+    got = spark.read.parquet(out)
+    last_bid = got.agg(F.max("_bid")).collect()[0][0]
+    assert last_bid >= 2, "restore must have processed post-kill batches"
+    final = got.filter(F.col("_bid") == last_bid).collect()
+    assert final, "no final emissions"
+    for r in final:
+        true_cnt = truth[(r["grp"], r["key"])]
+        assert r["est_cnt"] <= true_cnt <= r["est_cnt"] + r["max_err"], r
+    b_rows = [r for r in final if r["grp"] == "b"]
+    assert b_rows and all(r["max_err"] == 0 for r in b_rows)
+    want_b = sorted(
+        ((k, c) for (g, k), c in truth.items() if g == "b"),
+        key=lambda kc: (-kc[1], kc[0]),
+    )[:8]
+    got_b = [(r["key"], r["est_cnt"]) for r in sorted(b_rows, key=lambda r: r["rank"])]
+    assert got_b == want_b
+    # group 'a' (capacity 6 << 40 distinct): absent keys bounded too
+    a_err = max((r["max_err"] for r in final if r["grp"] == "a"), default=0)
+    a_present = {r["key"] for r in final if r["grp"] == "a"}
+    assert a_err > 0  # the summary really was lossy
+    for (g, k_), c in truth.items():
+        if g == "a" and k_ not in a_present:
+            # absent from the final TOP-K emission is weaker than
+            # absent from state; only check keys that cannot be in
+            # state's top-k: true count below the k-th emitted est
+            kth = min(r["est_cnt"] for r in final if r["grp"] == "a")
+            if c < kth:
+                assert c <= kth + a_err
