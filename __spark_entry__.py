@@ -764,7 +764,7 @@ def q_postfix_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     application-level MTA composite. Build postfix smtp-delivery lines
     ("<syslog head> QUEUEID: to=<rcpt>, relay=host[ip]:port,
     delay=D.DD, status=sent (...)") from the events table, parse with
-    ``%{POSTFIX_SMTP_DELIVERY}`` (13 fields: SYSLOGBASE head +
+    ``%{POSTFIX_SMTP_DELIVERY}`` (14 fields: SYSLOGBASE head +
     queueid/recipient/relay triple/delay/status/response), aggregate
     the PARSED fields. Oracle recomputes everything from the ORIGINAL
     columns; delay crosses the boundary as exact integer cents."""
@@ -798,7 +798,7 @@ def q_postfix_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(line.alias("text")),
         "%{POSTFIX_SMTP_DELIVERY}",
         types={"pid": "long", "delay": "decimal(18,2)"},
-        single_pass=True,  # 13 fields -> one regex pass per row
+        single_pass=True,  # 14 fields -> one regex pass per row
     )
     return parsed.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_lines"),

@@ -298,8 +298,12 @@ def funnel_stages(
         )
         # tie the guard into used arithmetic (assert_true yields NULL
         # or throws); a when() with identical branches would be
-        # constant-folded away and silently drop the guard
-        stage_col = stage_col + F.coalesce(guard.cast("int"), F.lit(0))
+        # constant-folded away and silently drop the guard. Guard on
+        # the LEFT of the add: operands evaluate left-to-right, so the
+        # size check throws BEFORE the fold touches the giant array —
+        # guard-on-the-right would fold all 10^8 elements first and
+        # only then fail (code-review r5)
+        stage_col = F.coalesce(guard.cast("int"), F.lit(0)) + stage_col
     reached = arr.select(stage_col.alias("_stage"))
     counts = (
         reached.filter(F.col("_stage") > 0)

@@ -32,6 +32,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _interval_buckets(
+    intervals: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    bucket_micros: int,
+    bucket_seconds: int,
+    max_span_buckets: int | None,
+) -> DataFrame:
+    """The interval side of the range join: each interval exploded to
+    one row per covering bucket (`_bkt`). Split out so tests observe
+    the REAL explode path (bucket-row counts, guard behavior) rather
+    than re-deriving it.
+
+    Inverted intervals (end < start) match nothing under BETWEEN, but
+    would slip past the span guard (span <= 0 passes `<= max`) and
+    F.sequence(lo, hi) with lo > hi emits a DESCENDING |lo-hi|+1
+    element sequence — a single corrupt interval exploding into huge
+    bucket fan-out, the exact runaway the guard exists for (ADVICE
+    r4). Dropping them up front is semantics-preserving and also
+    covers the max_span_buckets=None path."""
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
+    lo = F.floor(_micros(F.col(start_col)) / F.lit(bucket_micros)).cast("long")
+    hi = F.floor(_micros(F.col(end_col)) / F.lit(bucket_micros)).cast("long")
+    span = hi - lo + F.lit(1)
+    if max_span_buckets is not None:
+        # fail fast in-plan: a runaway interval is a bug upstream, not
+        # something to silently explode into bucket rows
+        guard = F.assert_true(
+            span <= F.lit(int(max_span_buckets)),
+            F.concat(
+                F.lit(
+                    f"bucketed_range_join: interval spans more than "
+                    f"{max_span_buckets} buckets of {bucket_seconds}s "
+                    f"(raise bucket_seconds or max_span_buckets); span="
+                ),
+                span.cast("string"),
+            ),
+        )
+        # assert_true yields NULL (or throws); adding its coalesced 0
+        # into `lo` keeps it in the plan — a `when` with identical
+        # branches would be constant-folded away, silently dropping
+        # the guard
+        lo = lo + F.coalesce(guard.cast("long"), F.lit(0))
+    return intervals.withColumn("_bkt", F.explode(F.sequence(lo, hi)))
+
+
 def _micros(col: Column) -> Column:
     """Exact integer epoch microseconds. The cast normalizes
     TIMESTAMP_NTZ inputs (parquet default in this engine's UTC
@@ -59,37 +106,14 @@ def bucketed_range_join(
     ``max_span_buckets`` bounds per-interval replication; ``None``
     disables the guard (only when spans are known-bounded upstream)."""
     b = int(bucket_seconds) * 1_000_000  # integer micros: exact floor division
-    # Inverted intervals (end < start) match nothing under BETWEEN, but
-    # would slip past the span guard (span <= 0 passes `<= max`) and
-    # F.sequence(lo, hi) with lo > hi emits a DESCENDING |lo-hi|+1
-    # element sequence — a single corrupt interval exploding into huge
-    # bucket fan-out, the exact runaway the guard exists for (ADVICE
-    # r4). Dropping them up front is semantics-preserving and also
-    # covers the max_span_buckets=None path.
-    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
-    lo = F.floor(_micros(F.col(start_col)) / F.lit(b)).cast("long")
-    hi = F.floor(_micros(F.col(end_col)) / F.lit(b)).cast("long")
-    span = hi - lo + F.lit(1)
-    if max_span_buckets is not None:
-        # fail fast in-plan: a runaway interval is a bug upstream, not
-        # something to silently explode into bucket rows
-        guard = F.assert_true(
-            span <= F.lit(int(max_span_buckets)),
-            F.concat(
-                F.lit(
-                    f"bucketed_range_join: interval spans more than "
-                    f"{max_span_buckets} buckets of {bucket_seconds}s "
-                    f"(raise bucket_seconds or max_span_buckets); span="
-                ),
-                span.cast("string"),
-            ),
-        )
-        # assert_true yields NULL (or throws); adding its coalesced 0
-        # into `lo` keeps it in the plan — a `when` with identical
-        # branches would be constant-folded away, silently dropping
-        # the guard
-        lo = lo + F.coalesce(guard.cast("long"), F.lit(0))
-    iv = intervals.withColumn("_bkt", F.explode(F.sequence(lo, hi)))
+    iv = _interval_buckets(
+        intervals,
+        start_col=start_col,
+        end_col=end_col,
+        bucket_micros=b,
+        bucket_seconds=bucket_seconds,
+        max_span_buckets=max_span_buckets,
+    )
     fb = facts.withColumn(
         "_bkt", F.floor(_micros(F.col(ts_col)) / F.lit(b)).cast("long")
     )

@@ -239,6 +239,36 @@ GROK_PATTERNS: dict[str, str] = {
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
 
+def _count_capture_groups(rx: str) -> int:
+    """Lexical capture-group count, valid for Python AND Java regex
+    syntax: `(` opens a capture group unless backslash-escaped, inside
+    a `[...]` character class, or immediately followed by `?` (group
+    extensions) — EXCEPT named groups (`(?P<x>` and Java's `(?<x>`,
+    distinguished from lookbehind `(?<=`/`(?<!`), which capture."""
+    n = 0
+    in_class = escaped = False
+    for i, ch in enumerate(rx):
+        if escaped:
+            escaped = False
+            continue
+        if ch == "\\":
+            escaped = True
+        elif in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            if rx[i + 1 : i + 2] != "?":
+                n += 1
+            elif rx[i + 2 : i + 4] == "P<" or (
+                rx[i + 2 : i + 3] == "<"
+                and rx[i + 3 : i + 4] not in ("=", "!")
+            ):
+                n += 1
+    return n
+
+
 def grok_to_regex(
     grok: str, pattern_definitions: Optional[dict[str, str]] = None
 ) -> tuple[str, list[str]]:
@@ -304,10 +334,13 @@ def grok_to_regex(
         # The invariant check uses Python's re, but extraction runs on
         # the JVM: user pattern_definitions may legitimately use
         # Java-only syntax (possessive quantifiers `a*+`, `\p{...}`
-        # classes) that Python can't compile (ADVICE r4). Skip the
-        # assert rather than reject a pattern the JVM path accepts —
-        # the caller owns the no-bare-groups contract for such bodies.
-        return rx, fields
+        # classes) that Python can't compile (ADVICE r4). Don't reject
+        # a pattern the JVM path accepts — but don't silently drop the
+        # fields<->groups invariant either (code-review r5): count
+        # capture groups LEXICALLY, which is well-defined for Java
+        # syntax too (`(` opens a capture unless escaped, in a char
+        # class, or followed by `?`).
+        n_groups = _count_capture_groups(rx)
     if n_groups != len(fields):
         raise ValueError(
             f"grok expression compiles to {n_groups} capture groups for "
@@ -344,14 +377,16 @@ def regex_parse(
     TB the parse stage dominates the pipeline, so this is the scale
     path for wide grok composites.
 
-    ``single_pass`` is OPT-IN because it is not bit-equivalent on two
-    pathological inputs: (a) a matched field that itself contains
-    ``single_pass_sep`` (default ``\\x01``, not produced by printable
-    log pipelines) mis-splits and the row nulls out; (b) a NON-matching
-    line that happens to contain exactly K-1 separator bytes yields
-    garbage fields instead of nulls. Pick a separator that cannot
-    occur in the data; everywhere else the two paths agree (pinned by
-    tests incl. no-match and unmatched-optional-group lines).
+    ``single_pass`` is not bit-equivalent on one pathological input:
+    a line CONTAINING ``single_pass_sep`` (default ``\\x01``, not
+    produced by printable log pipelines) nulls out instead of parsing
+    — a matched field carrying the separator mis-splits (size != K),
+    and a line that IS exactly K chunks joined by the separator is
+    indistinguishable from its own rewrite (the ``joined != input``
+    match test below). Failure direction is always nulls, never
+    garbage fields. Pick a separator that cannot occur in the data;
+    everywhere else the two paths agree (pinned by tests incl.
+    no-match, separator-bearing, and unmatched-optional-group lines).
     """
     if fields is None:
         fields = list(re.compile(pattern).groupindex.keys())
@@ -388,10 +423,16 @@ def _regex_parse_single_pass(
 ) -> DataFrame:
     """One regex evaluation per row: anchored regexp_replace rewrites
     the whole line into ``$1<sep>$2<sep>...$K``; a non-matching line
-    comes back UNCHANGED, detected as split-size != K (all fields
-    null). Each stage is its own projection (joined, parts, fields) —
-    the CollapseProject staging discipline that keeps the non-cheap
-    regexp_replace/split evaluated once, not inlined K times."""
+    comes back UNCHANGED, detected as ``joined == input`` (all fields
+    null) — split-size alone would mistake a non-matching line that
+    happens to contain K-1 separator bytes for a match and emit
+    garbage fields (code-review r5). A matched line always differs
+    from its rewrite unless the input was literally the K groups
+    joined by the separator, in which case nulling out is the safe
+    direction. Each stage is its own projection (joined, parts,
+    fields) — the CollapseProject staging discipline that keeps the
+    non-cheap regexp_replace/split evaluated once, not inlined K
+    times."""
     k = len(fields)
     wrapped = r"\A[\s\S]*?(?:" + java_pattern + r")[\s\S]*\z"
     # The separator is spliced into a Java replacement template, where
@@ -404,7 +445,9 @@ def _regex_parse_single_pass(
         "_sp_joined", F.regexp_replace(F.col(source_col), wrapped, template)
     )
     parts = joined.withColumn("_sp_parts", F.split(F.col("_sp_joined"), re.escape(sep), -1))
-    matched = F.size(F.col("_sp_parts")) == k
+    matched = (F.size(F.col("_sp_parts")) == k) & (
+        F.col("_sp_joined") != F.col(source_col)
+    )
     cols: dict[str, Column] = {}
     for i, name in enumerate(fields, start=1):
         col = F.when(matched, F.element_at(F.col("_sp_parts"), i))

@@ -125,7 +125,10 @@ def make_top_talker_fn(
     every group's state budget."""
     from ..operators.frequency import mg_fold
 
-    caps = capacity_by_group or {}
+    # group values arrive string-CAST (streaming_top_talkers casts
+    # group_col); normalize override keys the same way so an int-keyed
+    # dict ({5: 4096}) is not silently ignored (code-review r5)
+    caps = {str(kk): vv for kk, vv in (capacity_by_group or {}).items()}
 
     def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         (grp,) = key

@@ -285,10 +285,17 @@ def test_bucketed_range_join_inverted_interval_is_dropped(spark):
     )
     rows = out.collect()
     assert [r["name"] for r in rows] == ["ok"]
-    # and the exploded dim side carries no row for the inverted interval
-    n_bucket_rows = (
-        intervals.filter(F.col("end") >= F.col("start"))
-        .select(F.explode(F.sequence(F.lit(0), F.lit(0))))
-        .count()
+    # the REAL exploded dim side (the operator's own bucket builder)
+    # carries rows only for the valid interval — the inverted one
+    # contributes ZERO bucket rows, not a descending ~500-bucket fan
+    from fluent_plugin_record_reformer_spark.operators.joins import (
+        _interval_buckets,
     )
-    assert n_bucket_rows == 1
+
+    bucket_rows = _interval_buckets(
+        intervals, start_col="start", end_col="end",
+        bucket_micros=3600 * 1_000_000, bucket_seconds=3600,
+        max_span_buckets=64,
+    ).collect()
+    assert {r["name"] for r in bucket_rows} == {"ok"}
+    assert len(bucket_rows) == 49  # Jan 4 00:00 - Jan 6 00:00 inclusive

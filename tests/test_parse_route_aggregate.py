@@ -823,3 +823,46 @@ def test_grok_single_pass_auto_default(spark):
     # both parse correctly
     assert wide.collect()[0]["d"] == "d"
     assert narrow.collect()[0]["c"] == "c"
+
+
+def test_single_pass_separator_bearing_line_nulls_not_garbage(spark):
+    """Code-review r5: a NON-matching line containing exactly K-1
+    separator bytes used to split into K chunks and emit garbage
+    fields; the joined!=input match test must null it out, same as
+    the per-field path."""
+    from fluent_plugin_record_reformer_spark.operators.parse import regex_parse
+
+    pat = r"k=(?P<k>\w+) v=(?P<v>\d+)"
+    rows = [("k=a v=1",), ("garbage\x01line",), ("nope",)]
+    df = spark.createDataFrame(rows, "text string")
+    sp = {
+        r["text"]: (r["k"], r["v"])
+        for r in regex_parse(df, pat, single_pass=True).collect()
+    }
+    pf = {
+        r["text"]: (r["k"], r["v"])
+        for r in regex_parse(df, pat).collect()
+    }
+    assert sp == pf
+    assert sp["garbage\x01line"] == (None, None)
+
+
+def test_lexical_group_count_guards_java_only_patterns():
+    """Code-review r5: a Java-only pattern body with a BARE capture
+    group must still be rejected (lexical count), and the counter
+    understands escapes, char classes, and named groups."""
+    import pytest as _pytest
+
+    from fluent_plugin_record_reformer_spark.operators.parse import (
+        _count_capture_groups,
+        grok_to_regex,
+    )
+
+    assert _count_capture_groups(r"(a)(?:b)(?=c)\(d[(]e") == 1
+    assert _count_capture_groups(r"(?P<x>a)(?<y>b)(?<=z)(?<!w)") == 2
+    # Java-only syntax (possessive) + a bare group -> rejected even
+    # though Python re cannot compile it
+    with _pytest.raises(ValueError, match="bare"):
+        grok_to_regex(
+            "%{BADPOSS:f}", pattern_definitions={"BADPOSS": r"(a*+)b"}
+        )

@@ -628,3 +628,31 @@ def test_top_talkers_error_bound_across_kill(spark, tmp_path):
             kth = min(r["est_cnt"] for r in final if r["grp"] == "a")
             if c < kth:
                 assert c <= kth + a_err
+
+
+def test_top_talker_capacity_by_group_int_keys():
+    """Code-review r5: capacity_by_group keys normalize to the string-
+    cast group value, so int keys are honored."""
+    from fluent_plugin_record_reformer_spark.streaming.stateful import (
+        make_top_talker_fn,
+    )
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.v = v
+
+    import pandas as pd
+
+    fn = make_top_talker_fn(2, 2, capacity_by_group={5: 100})
+    state = FakeState()
+    pdf = pd.DataFrame({"key": [f"k{i}" for i in range(10)]})
+    out = list(fn(("5",), iter([pdf]), state))
+    # capacity 100 honored: all 10 distinct keys kept in state, no decrement
+    assert len(state.v[0]) == 10 and state.v[2] == 0
+    fn2 = make_top_talker_fn(2, 2, capacity_by_group={})
+    state2 = FakeState()
+    list(fn2(("5",), iter([pdf]), state2))
+    assert len(state2.v[0]) == 2  # default capacity prunes
