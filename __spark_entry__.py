@@ -654,11 +654,26 @@ def q_apache_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no-match lines pinned in test_single_pass_parity_*)
         single_pass=True,
     )
-    return parsed.groupBy("verb", "response").agg(
+    # first_ts = the EARLIEST event (min over the PARSED timestamp, a
+    # mutable long buffer -> HashAggregate at every level of the
+    # countDistinct expand; min(string) buffers are immutable and
+    # forced SortAggregate plans), re-rendered post-agg. Lexicographic
+    # string-min would differ for day-first formats.
+    agg = parsed.groupBy("verb", "response").agg(
         F.count(F.lit(1)).alias("n_requests"),
         F.sum("bytes").alias("sum_bytes"),
         F.countDistinct("clientip").alias("n_ips"),
-        F.min("timestamp").alias("first_ts"),
+        F.min(
+            F.try_to_timestamp(
+                F.col("timestamp"), F.lit("dd/MMM/yyyy:HH:mm:ss Z")
+            )
+        ).alias("_min_ts"),
+    )
+    return agg.select(
+        "verb", "response", "n_requests", "sum_bytes", "n_ips",
+        F.concat(
+            F.date_format("_min_ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000")
+        ).alias("first_ts"),
     )
 
 
@@ -701,15 +716,26 @@ def q_syslog_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         types={"pid": "long", "priority": "long"},
         single_pass=True,  # 8 fields -> one regex pass per row
     )
-    return parsed.groupBy("program").agg(
+    # min over the parsed classic timestamp (year-less "MMM d" maps to
+    # 1970 — chronological ordering is preserved within one calendar
+    # year, the inherent ambit of syslog timestamps), HashAggregate
+    # instead of the immutable-string-buffer SortAggregate fallback
+    agg = parsed.groupBy("program").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("logsource").alias("n_hosts"),
         F.countDistinct("message").alias("n_msgs"),
-        F.min("timestamp").alias("first_ts"),
+        F.min(
+            F.try_to_timestamp(F.col("timestamp"), F.lit("MMM d HH:mm:ss"))
+        ).alias("_min_ts"),
         F.sum("pid").alias("sum_pid"),
         F.count("facility").alias("n_fac"),
         F.sum("priority").alias("sum_prio"),
         F.count("timestamp8601").alias("n_iso"),
+    )
+    return agg.select(
+        "program", "n_lines", "n_hosts", "n_msgs",
+        F.date_format("_min_ts", "MMM d HH:mm:ss").alias("first_ts"),
+        "sum_pid", "n_fac", "sum_prio", "n_iso",
     )
 
 
@@ -748,14 +774,24 @@ def q_rfc5424_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         types={"syslog5424_pri": "long"},
         single_pass=True,
     )
-    return parsed.groupBy(F.col("syslog5424_app").alias("app")).agg(
+    agg = parsed.groupBy(F.col("syslog5424_app").alias("app")).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("syslog5424_host").alias("n_hosts"),
         F.sum("syslog5424_pri").alias("sum_pri"),
         F.count("syslog5424_proc").alias("n_proc"),
         F.sum(F.when(F.col("syslog5424_sd") != "-", 1).otherwise(0)).alias("n_sd"),
-        F.min("syslog5424_ts").alias("first_ts"),
+        # parsed-timestamp min: hash-aggregatable long buffer
+        F.min(
+            F.try_to_timestamp(
+                F.col("syslog5424_ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+            )
+        ).alias("_min_ts"),
         F.count("syslog5424_msg").alias("n_msgs"),
+    )
+    return agg.select(
+        "app", "n_lines", "n_hosts", "sum_pri", "n_proc", "n_sd",
+        F.date_format("_min_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("first_ts"),
+        "n_msgs",
     )
 
 
@@ -800,7 +836,7 @@ def q_postfix_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         types={"pid": "long", "delay": "decimal(18,2)"},
         single_pass=True,  # 14 fields -> one regex pass per row
     )
-    return parsed.groupBy("status").agg(
+    agg = parsed.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("recipient").alias("n_recipients"),
         F.countDistinct("queueid").alias("n_queueids"),
@@ -808,8 +844,18 @@ def q_postfix_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("delay") * 100).cast("long").alias("sum_delay_cents"),
         F.sum("pid").alias("sum_pid"),
         F.countDistinct("logsource").alias("n_hosts"),
-        F.min("timestamp").alias("first_ts"),
+        # parsed-timestamp min (see q_syslog_logs): HashAggregate, not
+        # the immutable-string-buffer SortAggregate fallback
+        F.min(
+            F.try_to_timestamp(F.col("timestamp"), F.lit("MMM d HH:mm:ss"))
+        ).alias("_min_ts"),
         F.count("response").alias("n_resp"),
+    )
+    return agg.select(
+        "status", "n_lines", "n_recipients", "n_queueids", "n_relays",
+        "sum_delay_cents", "sum_pid", "n_hosts",
+        F.date_format("_min_ts", "MMM d HH:mm:ss").alias("first_ts"),
+        "n_resp",
     )
 
 
@@ -842,11 +888,22 @@ def q_tomcat_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = grok_parse(
         ev.select(line.alias("text")), "%{TOMCATLOG}", single_pass=True
     )
-    return parsed.groupBy("level").agg(
+    agg = parsed.groupBy("level").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("class").alias("n_classes"),
         F.countDistinct("logmessage").alias("n_msgs"),
-        F.min("timestamp").alias("first_ts"),
+        # parsed-timestamp min: hash-aggregatable long buffer
+        F.min(
+            F.try_to_timestamp(
+                F.col("timestamp"), F.lit("yyyy-MM-dd HH:mm:ss XXX")
+            )
+        ).alias("_min_ts"),
+    )
+    return agg.select(
+        "level", "n_lines", "n_classes", "n_msgs",
+        F.concat(
+            F.date_format("_min_ts", "yyyy-MM-dd HH:mm:ss"), F.lit(" +00:00")
+        ).alias("first_ts"),
     )
 
 
@@ -1777,7 +1834,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            CAST(sum(event_id % 5000) AS BIGINT) AS sum_bytes,
            CAST(count(DISTINCT printf('10.%d.%d.%d', user_id % 256,
                 event_id % 256, (user_id + event_id) % 256)) AS BIGINT) AS n_ips,
-           min(strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000') AS first_ts
+           strftime(min(ts), '%d/%b/%Y:%H:%M:%S') || ' +0000' AS first_ts
     FROM events GROUP BY 1, 2
     """,
     "syslog_logs": """
@@ -1785,7 +1842,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(count(DISTINCT user_id % 50) AS BIGINT) AS n_hosts,
            CAST(count(DISTINCT user_id % 100) AS BIGINT) AS n_msgs,
-           min(strftime(ts, '%b %-d %H:%M:%S')) AS first_ts,
+           strftime(min(ts), '%b %-d %H:%M:%S') AS first_ts,
            CAST(sum(event_id % 30000 + 1) AS BIGINT) AS sum_pid,
            CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_fac,
@@ -1803,7 +1860,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
              AS n_proc,
            CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_sd,
-           min(strftime(ts, '%Y-%m-%dT%H:%M:%SZ')) AS first_ts,
+           strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_ts,
            CAST(count(*) AS BIGINT) AS n_msgs
     FROM events GROUP BY 1
     """,
@@ -1820,7 +1877,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
              AS sum_delay_cents,
            CAST(sum(event_id % 30000 + 1) AS BIGINT) AS sum_pid,
            CAST(count(DISTINCT user_id % 50) AS BIGINT) AS n_hosts,
-           min(strftime(ts, '%b %-d %H:%M:%S')) AS first_ts,
+           strftime(min(ts), '%b %-d %H:%M:%S') AS first_ts,
            CAST(count(*) AS BIGINT) AS n_resp
     FROM events GROUP BY 1
     """,
@@ -1832,7 +1889,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
            CAST(count(DISTINCT event_id % 7) AS BIGINT) AS n_classes,
            CAST(count(DISTINCT printf('user=%d action=%s', user_id % 100,
                 event_type)) AS BIGINT) AS n_msgs,
-           min(strftime(ts, '%Y-%m-%d %H:%M:%S') || ' +00:00') AS first_ts
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') || ' +00:00' AS first_ts
     FROM events GROUP BY 1
     """,
     "decontaminate": f"""
