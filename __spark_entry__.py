@@ -1167,8 +1167,13 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (language_id(toks) == "en")
         & (n_stop.cast("double") / F.greatest(n_words, F.lit(1)) >= 0.05)
     )
+    # min_by: the KEPT doc's source (arg-min by doc_id), not the
+    # lexicographic min — and a TypedImperative agg, so the plan is
+    # ObjectHashAggregate instead of the SortAggregate fallback that
+    # min(string)'s immutable buffer forces (round-5 plan sweep)
     keepers = gated.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.min("source").alias("source")
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
     )
     sampled = deterministic_sample(keepers, "doc_id", 0.5, seed=5)
     return sampled.groupBy("source").agg(
@@ -1405,7 +1410,7 @@ WITH toks AS (
 )
 SELECT doc_id,
        {om.sql_poly_fingerprint("text")} AS poly_fp,
-       {om.sql_minhash("s", 0)} AS winnow_fp
+       {om.sql_minhash60("s", 0)} AS winnow_fp
 FROM shing
 """
 
@@ -1758,7 +1763,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     ), shing AS (
       SELECT doc_id, {om.sql_shingles("t", SHINGLE_N)} AS s FROM toks
     ), per AS (
-      SELECT doc_id, {om.sql_minhash("s", 0)} AS wfp,
+      SELECT doc_id, {om.sql_minhash60("s", 0)} AS wfp,
              list_distinct({om.sql_hash60_list("s")}) AS sset
       FROM shing
     ), blk AS (
@@ -1979,7 +1984,7 @@ WITH gated AS (
     AND CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a|in)\b')) AS DOUBLE)
         / greatest(len(regexp_extract_all(text, '[a-z]+')), 1) >= 0.05
 ), keepers AS (
-  SELECT min(doc_id) AS doc_id, min(source) AS source, text
+  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source, text
   FROM gated GROUP BY text
 ), sampled AS (
   SELECT * FROM keepers WHERE {sample_gate_sql("doc_id", 0.5, seed=5)}

@@ -36,6 +36,15 @@ def sql_minhash(shingles_expr: str, seed: int) -> str:
     )
 
 
+def sql_minhash60(shingles_expr: str, seed: int) -> str:
+    """Mirror of dedup._seeded_hash60 min (the int64 winnow digest):
+    seeded md5 -> first 15 hex chars -> int64, list_min."""
+    return (
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> CAST('0x' || substr(md5('{seed}' || '|' || s), 1, 15) AS BIGINT)))"
+    )
+
+
 def sql_hash60_list(shingles_expr: str) -> str:
     """Mirror of dedup._hash60 over a shingle list: md5 -> 15 hex chars
     -> int64 (the 60-bit hash carried as the doc's shingle set)."""

@@ -54,6 +54,17 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _seeded_hash60(col: Column, seed: int) -> Column:
+    """Seeded 60-bit int64 digest (oracle mirror: sql_minhash60). The
+    int64 prefix of the seeded md5 is its own uniform permutation of
+    the value space, so MIN over it is a valid min-hash — and unlike
+    min over the hex STRING digest, a LONG min buffer is mutable, so
+    the winnow aggregation plans HashAggregate instead of the
+    SortAggregate fallback that sorted every exploded shingle row per
+    partition (round-5 plan sweep)."""
+    return F.conv(F.substring(seeded_md5(col, seed), 1, 15), 16, 10).cast("long")
+
+
 def _exploded_shingles(
     df: DataFrame,
     *,
@@ -320,7 +331,7 @@ def fingerprint_near_dup(
     """Winnow-fingerprint-blocked exact n-gram Jaccard: the third
     near-dup candidate scheme next to MinHash banding (lsh_near_dup)
     and SimHash. Docs sharing their WINNOWED fingerprint (the minimum
-    seeded-md5 shingle digest, the same value doc_fingerprints emits)
+    seeded 60-bit int64 shingle digest, the same value doc_fingerprints emits)
     land in one block; exact distinct-shingle-hash Jaccard is computed
     inside the block with the sets CARRIED through the pair-gen — one
     scan, one groupBy cascade, zero join-backs, exactly the
@@ -339,7 +350,7 @@ def fingerprint_near_dup(
     per_doc = ex.groupBy(id_col).agg(
         # the SAME winnow value doc_fingerprints emits — shared explode
         # + shared seed, so blocking keys agree with stored fingerprints
-        F.min(seeded_md5(F.col("_s"), 0)).alias("winnow_fp"),
+        F.min(_seeded_hash60(F.col("_s"), 0)).alias("winnow_fp"),
         F.collect_set(_hash60(F.col("_s"))).alias("_sset"),
     )
     members = per_doc.groupBy("winnow_fp").agg(
@@ -555,7 +566,7 @@ def doc_fingerprints(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, poly_fp, winnow_fp): Rabin-Karp rolling hash over the raw
-    chars + the winnowed (min) seeded-md5 shingle digest.
+    chars + the winnowed (min) seeded 60-bit int64 shingle digest.
 
     The poly fold is computed ONCE per doc in the pre-explode
     projection and carried as a plain value through the shingle
@@ -572,5 +583,5 @@ def doc_fingerprints(
     )
     return ex.groupBy(id_col).agg(
         F.first("poly_fp").alias("poly_fp"),
-        F.min(seeded_md5(F.col("_s"), 0)).alias("winnow_fp"),
+        F.min(_seeded_hash60(F.col("_s"), 0)).alias("winnow_fp"),
     )

@@ -108,44 +108,55 @@ def ivf_assign(
     nprobe: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: each vector's ``nprobe`` nearest
-    centroids by cosine (ties break on centroid id). Centroids are
-    broadcast — the |V| x |C| scoring is embarrassingly parallel and
-    never shuffles the vector table.
+    centroids by cosine (ties break on centroid id).
 
     nprobe=1 (the bulk path: inverted-list building AND every k-means
-    training assignment) is a partial-aggregating ``groupBy`` argmax,
-    NOT a window: ``max`` over a ``(sim, -centroid_id)`` struct picks
-    exactly the window's ``(sim DESC, centroid_id ASC)`` rank-1 row —
-    struct comparison is lexicographic, NaN sorts greatest in both the
-    window desc sort and the struct max, and ``-centroid_id`` encodes
-    the ascending id tiebreak order-compatibly — but with map-side
-    combine the |V| x |C| scored rows reduce to |V| BEFORE the
-    exchange and nothing is sorted. The old window shape shuffled and
-    sorted 16x the vector table (the r3 verdict's last ANN
-    scale-killer). The window survives only for nprobe>1, which is
-    only ever applied to the tiny query side."""
+    training assignment) is a pure PROJECTION argmax — ZERO shuffle,
+    zero aggregation: the k centroid rows (tiny by the IVF contract;
+    trained centroids are already driver-side literals) are collected
+    and inlined as literal arrays, each row computes its k cosines and
+    ``array_max`` over ``(sim, -centroid_id)`` structs picks the
+    ``(sim DESC, centroid_id ASC)`` winner in-place. Evolution of
+    this plan shape: r3 window = shuffle+sort of 16x the vector
+    table; r4 groupBy max(struct) = map-side combine to |V| rows but
+    the immutable struct buffer fell back to SortAggregate (sorting
+    the |V| x |C| scored rows per partition) AND still exchanged the
+    full vector table; r5 projection = scan -> project, nothing moves.
+    Same comparisons, same tiebreak (struct order is lexicographic,
+    NaN greatest, ties impossible since -centroid_id is distinct), so
+    results are bit-identical to both prior shapes. The collect is k
+    rows — the same driver action train_kmeans_centroids already
+    performs per iteration.
+
+    The broadcast-crossJoin + window shape survives only for
+    nprobe>1, which is only ever applied to the tiny query side."""
+    if nprobe == 1:
+        rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+        if not rows:
+            raise ValueError("ivf_assign: centroids are empty")
+        cands = F.array(
+            *[
+                F.struct(
+                    cosine(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                    ).alias("s"),
+                    F.lit(-int(cid)).alias("negid"),
+                )
+                for cid, vec in rows
+            ]
+        )
+        return vectors.select(
+            id_col,
+            vec_col,
+            (-F.array_max(cands)["negid"]).alias(centroid_id_col),
+        )
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,
         centroid_id_col,
         cosine(F.col(vec_col), F.col(centroid_vec_col)).alias("_c_sim"),
     )
-    if nprobe == 1:
-        # group by (id, vec): vec is functionally dependent on the
-        # unique id, so the grouping is identical to id-only but avoids
-        # a nondeterministic-looking first(vec) — and the vec bytes
-        # travel in the shuffle either way.
-        best = scored.groupBy(id_col, vec_col).agg(
-            F.max(
-                F.struct(
-                    F.col("_c_sim").alias("s"),
-                    (-F.col(centroid_id_col)).alias("negid"),
-                )
-            ).alias("_best")
-        )
-        return best.select(
-            id_col, vec_col, (-F.col("_best.negid")).alias(centroid_id_col)
-        )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_c_sim").desc(), F.col(centroid_id_col).asc()
     )
