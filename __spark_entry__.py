@@ -1282,6 +1282,99 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(emb, threshold=0.2, planes=8, max_bucket=128)
 
 
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (operators/enrich.scd2_from_changelog):
+    a per-entity status change log (derived deterministically from
+    events) collapses into versioned rows with valid_from/valid_to —
+    the producer side of what asof_enrich consumes. No-op restatements
+    (same status as the previous version) are collapsed. Oracle
+    mirrors the lag-collapse + lead-validity windows in SQL."""
+    from fluent_plugin_record_reformer_spark.operators.enrich import (
+        scd2_from_changelog,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    chg = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(40)).alias("entity"),
+            "ts",
+            "event_type",
+        )
+        .groupBy("entity", "ts")
+        .agg(F.min("event_type").alias("status"))
+    )
+    dim = scd2_from_changelog(
+        chg, key="entity", ts_col="ts", attrs=["status"]
+    )
+    dur = F.unix_timestamp("valid_to") - F.unix_timestamp("valid_from")
+    return dim.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("is_current").cast("long")).alias("n_current"),
+        F.sum(
+            F.when(F.col("valid_to").isNotNull(), dur).otherwise(F.lit(0))
+        ).alias("sum_dur_s"),
+        F.min("valid_from").alias("first_seen"),
+    )
+
+
+SURPRISAL_VOCAB, SURPRISAL_THR = 16, (17, 2)  # flag: bits/token > 17/2
+
+
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality filter
+    (operators/corpus.surprisal_score): per-doc corpus surprisal in
+    INTEGER bits (bitlen(T) - bitlen(cnt) per token, OOV floor), so
+    every aggregate is an order-free exact BIGINT sum; the high-
+    surprisal flag compares the rational bits/token threshold by
+    integer cross-multiplication. Vocab is bounded top-16 (broadcast
+    stays bounded at 100 TB; the tail of the 31-word synthetic vocab
+    exercises the OOV path)."""
+    from fluent_plugin_record_reformer_spark.operators.corpus import (
+        surprisal_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = surprisal_score(
+        docs,
+        id_cols=["doc_id", "source"],
+        text_col="text",
+        vocab_size=SURPRISAL_VOCAB,
+    )
+    thr_num, thr_den = SURPRISAL_THR
+    high = (
+        F.col("sum_bits") * F.lit(thr_den) > F.lit(thr_num) * F.col("n_tokens")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("sum_bits").alias("sum_bits"),
+        F.sum(high.cast("long")).alias("n_high"),
+        (F.sum("sum_bits").cast("double") / F.sum("n_tokens")).alias(
+            "avg_bits"
+        ),
+    )
+
+
+TFIDF_TERMS = ["filter", "scan", "slow", "vector"]
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 documents per query term
+    (operators/corpus.tfidf_topk): term filter pushed into the scan
+    projection, doc-frequency + doc-count broadcast back, ranking via
+    the scalable grouped_topk (per-partition bounded local top-k, then
+    an exact window over only the candidate set — never a window over
+    the raw per-doc counts)."""
+    from fluent_plugin_record_reformer_spark.operators.corpus import (
+        tfidf_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(
+        docs, id_col="doc_id", text_col="text", terms=TFIDF_TERMS, k=3
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1342,6 +1435,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sink_top_talkers": q_sink_top_talkers,
     "sliding_rate": q_sliding_rate,
     "funnel": q_funnel,
+    "scd2_dim": q_scd2_dim,
+    "doc_surprisal": q_doc_surprisal,
+    "tfidf": q_tfidf,
 }
 
 
@@ -2150,6 +2246,81 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            CAST(sum(CASE WHEN petype IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
            CAST(sum(coalesce(pval, CAST(0 AS DECIMAL(18,2)))) * 100 AS BIGINT) AS sum_val_cents
     FROM parsed GROUP BY role
+    """,
+    "scd2_dim": """
+    WITH chg AS (
+      SELECT user_id % 40 AS entity, ts, min(event_type) AS status
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT entity, ts, status,
+             lag(status) OVER (PARTITION BY entity ORDER BY ts) AS prev,
+             row_number() OVER (PARTITION BY entity ORDER BY ts) AS rn
+      FROM chg
+    ), surv AS (
+      SELECT entity, ts, status FROM lagged
+      WHERE rn = 1 OR status IS DISTINCT FROM prev
+    ), versions AS (
+      SELECT entity, status, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY entity ORDER BY ts) AS valid_to
+      FROM surv
+    )
+    SELECT status,
+           count(*) AS n_versions,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+           CAST(sum(CASE WHEN valid_to IS NOT NULL
+                         THEN date_diff('second', valid_from, valid_to)
+                         ELSE 0 END) AS BIGINT) AS sum_dur_s,
+           min(valid_from) AS first_seen
+    FROM versions GROUP BY status
+    """,
+    "doc_surprisal": """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+      ORDER BY cnt DESC, token LIMIT 16
+    ), tot AS (SELECT count(*) AS t FROM toks),
+    per_doc AS (
+      SELECT doc_id, source, count(*) AS n_tokens,
+             CAST(sum(
+               (CAST(floor(log2((SELECT t FROM tot))) AS BIGINT) + 1)
+               - coalesce(CAST(floor(log2(v.cnt)) AS BIGINT) + 1, 1)
+             ) AS BIGINT) AS sum_bits
+      FROM toks LEFT JOIN vocab v USING (token)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(sum_bits) AS BIGINT) AS sum_bits,
+           CAST(sum(CASE WHEN sum_bits * 2 > 17 * n_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(sum_bits) AS DOUBLE) / sum(n_tokens) AS avg_bits
+    FROM per_doc GROUP BY source
+    """,
+    "tfidf": """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('filter', 'scan', 'slow', 'vector') GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nd AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+      FROM tf
+    )
+    SELECT r.term, r.doc_id, r.tf, d.df,
+           round(r.tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS tfidf,
+           CAST(r.rnk AS INTEGER) AS rnk
+    FROM ranked r JOIN dfreq d USING (term) CROSS JOIN nd
+    WHERE r.rnk <= 3
     """,
 }
 

@@ -185,3 +185,60 @@ def tool_dim(spark: SparkSession) -> DataFrame:
         ("auth", "identity", False),
     ]
     return values_dim(spark, rows, "tool string, tool_family string, networked boolean")
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    attrs: Sequence[str],
+    collapse: bool = True,
+) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) table from a
+    change log: one row per observed state change, carrying
+    ``valid_from`` / ``valid_to`` (null = still current) and
+    ``is_current``. The inverse producer of what ``asof_enrich``
+    consumes — a pipeline captures config/ownership/pricing change
+    events, this collapses them into the versioned dim.
+
+    ``collapse=True`` drops no-op changes first: a row whose attrs are
+    all null-safely equal to the previous row's (per key, in ``ts_col``
+    order) restates the same version and would otherwise split one
+    validity interval in two. Comparing against the immediate
+    predecessor IS comparing against the previous surviving row: a
+    dropped row equals its own predecessor, so equality chains.
+
+    Scale shape: two windows partitioned by ``key`` — dim-side only
+    (a change log is orders of magnitude smaller than the fact
+    stream); facts never enter. Per-key ordering is exactly the
+    partitioning a versioned dim needs anyway. Contract mirrors
+    ``asof_enrich``: ``ts_col`` unique per key (pre-aggregate ties
+    upstream, e.g. ``groupBy(key, ts).agg(min(attr))``).
+    """
+    from pyspark.sql import Window
+
+    cols = [key, ts_col, *attrs]
+    out = df.select(*cols)
+    w = Window.partitionBy(key).orderBy(ts_col)
+    if collapse:
+        same_as_prev = F.lit(True)
+        for a in attrs:
+            same_as_prev = same_as_prev & F.col(a).eqNullSafe(
+                F.lag(F.col(a)).over(w)
+            )
+        # lag(first row) is null on every attr -> eqNullSafe is only
+        # true if the attr is also null; guard with row_number instead
+        # so an all-null first version is still kept
+        first = F.row_number().over(w) == 1
+        out = out.withColumn("_keep", first | ~same_as_prev).filter(
+            F.col("_keep")
+        ).drop("_keep")
+    valid_to = F.lead(F.col(ts_col)).over(w)
+    return out.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
