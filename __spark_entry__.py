@@ -1375,6 +1375,73 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over hourly event rates: an hour is
+    anomalous for a type when its count deviates from that type's
+    mean by more than 2 standard deviations. The entire flag is
+    computed in EXACT integer arithmetic — |cnt - S/n| > 2σ is
+    cross-multiplied to (cnt*n - S)^2 > 4*(SS*n - S^2) over BIGINT
+    sums (S, SS, n), so no float ever reaches a comparison and the
+    oracle matches bit-for-bit. (The squares stay < 2^63 up to
+    ~10^9 events/hour x 10^4 hours; beyond that promote to DECIMAL.)
+
+    Scale shape: one partial-aggregated groupBy to hourly counts
+    (output rows = types x hours, tiny), per-type stats over THAT
+    (tinier), broadcast back. The raw table is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = hourly.join(F.broadcast(stats), on="event_type")
+    dev = F.col("cnt") * F.col("n") - F.col("s")
+    anom = (dev * dev) > F.lit(4) * (
+        F.col("ss") * F.col("n") - F.col("s") * F.col("s")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("sum_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(anom.cast("long")).alias("n_anom"),
+    )
+
+
+COHORT_EPOCH = "2024-01-01"
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    activity counted per (cohort week, weeks-since-cohort) cell —
+    the standard triangle every events pipeline grows. Week indexes
+    are integer day-diffs `div 7` from a fixed epoch (no engine
+    week-truncation semantics in play).
+
+    Scale shape: per-user first-day and per-(user, day) activity both
+    hash-aggregate on user_id (co-partitioned, partial agg); the
+    cohort join is a same-key shuffle join; the final cell agg is over
+    user-days, already orders of magnitude below raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    j = days.join(firsts, on="user_id")
+    cohort_week = F.expr(
+        f"datediff(cohort_d, DATE '{COHORT_EPOCH}') div 7"
+    )
+    offset_week = F.expr("datediff(d, cohort_d) div 7")
+    return j.groupBy(
+        cohort_week.alias("cohort_week"), offset_week.alias("offset_week")
+    ).agg(
+        F.countDistinct("user_id").alias("n_active"),
+        F.count(F.lit(1)).alias("n_user_days"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1438,6 +1505,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_dim": q_scd2_dim,
     "doc_surprisal": q_doc_surprisal,
     "tfidf": q_tfidf,
+    "rate_anomaly": q_rate_anomaly,
+    "cohort_retention": q_cohort_retention,
 }
 
 
@@ -2321,6 +2390,41 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            CAST(r.rnk AS INTEGER) AS rnk
     FROM ranked r JOIN dfreq d USING (term) CROSS JOIN nd
     WHERE r.rnk <= 3
+    """,
+    "rate_anomaly": """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM hourly GROUP BY 1
+    )
+    SELECT event_type,
+           count(*) AS n_hours,
+           CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+           max(cnt) AS max_cnt,
+           CAST(sum(CASE WHEN (cnt * n - s) * (cnt * n - s)
+                              > 4 * (ss * n - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+    FROM hourly JOIN stats USING (event_type)
+    GROUP BY 1
+    """,
+    "cohort_retention": """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), firsts AS (
+      SELECT user_id, min(d) AS cohort_d FROM days GROUP BY 1
+    )
+    SELECT date_diff('day', DATE '2024-01-01', cohort_d) // 7 AS cohort_week,
+           date_diff('day', cohort_d, d) // 7 AS offset_week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+           count(*) AS n_user_days
+    FROM days JOIN firsts USING (user_id)
+    GROUP BY 1, 2
     """,
 }
 
