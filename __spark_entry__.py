@@ -50,10 +50,14 @@ from fluent_plugin_record_reformer_spark.operators.enrich import (
 from fluent_plugin_record_reformer_spark.operators.parse import grok_parse, regex_parse
 from fluent_plugin_record_reformer_spark.operators.route import Route, RouteTable
 from fluent_plugin_record_reformer_spark.operators.sketch import (
+    bottomk_quantile_sketch,
+    bottomk_quantile_sql,
     deterministic_sample,
     kmv_distinct,
     kmv_oracle_sql,
     sample_gate_sql,
+    stratified_gate_sql,
+    stratified_sample,
     weighted_gate_sql,
 )
 from fluent_plugin_record_reformer_spark.operators.similarity import (
@@ -1442,6 +1446,93 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/sequence.transition_matrix) — the
+    distributed generalization of the reference's in-order event
+    iteration (out_record_reformer.rb `es.each`). Ordering is the
+    deterministic total order (ts, event_id); the only sort in the
+    plan is the per-user window that DEFINES adjacency — both
+    aggregations are hash + partial."""
+    from fluent_plugin_record_reformer_spark.operators.sequence import (
+        transition_matrix,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(
+        ev,
+        key_col="user_id",
+        state_col="event_type",
+        order_cols=["ts", "event_id"],
+    )
+
+
+QSKETCH_K, QSKETCH_SEED = 256, 11
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type value quantiles from a deterministic
+    bottom-k row sample (operators/sketch.bottomk_quantile_sketch):
+    bounded per-group state (k structs) and one pass, where
+    exact_quantiles pays a chunked global rank. The sample is a pure
+    function of (seed, event_id), so the DuckDB oracle reproduces the
+    SAME sample and the estimates hash-match bit-for-bit; the error
+    BOUND vs the true quantile is property-tested in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    return bottomk_quantile_sketch(
+        ev,
+        "value",
+        ["event_type"],
+        key_col="event_id",
+        k=QSKETCH_K,
+        quantiles=(0.5, 0.9, 0.99),
+        seed=QSKETCH_SEED,
+    )
+
+
+STRAT_TARGET, STRAT_SEED = 500, 7
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-rebalancing stratified sample
+    (operators/sketch.stratified_sample): every event_type stratum is
+    hash-gated down to ~500 expected rows (rate = least(1, 500/cnt)
+    from a broadcast count dim), then summarized. The checksum column
+    (sum of kept event_ids) proves both engines kept EXACTLY the same
+    rows, not just the same number."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = stratified_sample(
+        ev,
+        "event_id",
+        ["event_type"],
+        target_per_stratum=STRAT_TARGET,
+        seed=STRAT_SEED,
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+
+
+INVIDX_POSTINGS = 3
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index over the documents corpus
+    (operators/corpus.inverted_index): term -> doc_freq, total_tf and
+    a rank-ordered "doc:tf" posting string capped at 3 — per-term
+    state bounded by the cap regardless of term frequency."""
+    from fluent_plugin_record_reformer_spark.operators.corpus import (
+        inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(
+        docs, id_col="doc_id", text_col="text", max_postings=INVIDX_POSTINGS
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1507,6 +1598,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf": q_tfidf,
     "rate_anomaly": q_rate_anomaly,
     "cohort_retention": q_cohort_retention,
+    "markov_transitions": q_markov_transitions,
+    "quantile_sketch": q_quantile_sketch,
+    "stratified_sample": q_stratified_sample,
+    "inverted_index": q_inverted_index,
 }
 
 
@@ -2425,6 +2520,69 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            count(*) AS n_user_days
     FROM days JOIN firsts USING (user_id)
     GROUP BY 1, 2
+    """,
+    "markov_transitions": """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_state
+      FROM events
+    )
+    SELECT event_type AS from_state, to_state,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM seq WHERE to_state IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "quantile_sketch": bottomk_quantile_sql(
+        "value",
+        "event_id",
+        ["event_type"],
+        "events",
+        k=QSKETCH_K,
+        quantiles=(0.5, 0.9, 0.99),
+        seed=QSKETCH_SEED,
+    ),
+    "stratified_sample": f"""
+    WITH kept AS ({stratified_gate_sql(
+        "event_id",
+        ["event_type"],
+        "events",
+        target_per_stratum=STRAT_TARGET,
+        seed=STRAT_SEED,
+    )})
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+    FROM kept GROUP BY 1
+    """,
+    "inverted_index": f"""
+    WITH toks AS (
+      SELECT doc_id AS _doc,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, _doc, CAST(count(*) AS BIGINT) AS _tf
+      FROM toks GROUP BY 1, 2
+    ), totals AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+             CAST(sum(_tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY 1
+    ), ranked AS (
+      SELECT term, _doc, _tf,
+             row_number() OVER (
+               PARTITION BY term ORDER BY _tf DESC, _doc
+             ) AS _rnk
+      FROM tf
+    ), post AS (
+      SELECT term,
+             string_agg(_doc || ':' || _tf, ',' ORDER BY _rnk) AS postings
+      FROM ranked WHERE _rnk <= {INVIDX_POSTINGS} GROUP BY term
+    )
+    SELECT t.term, t.doc_freq, t.total_tf, p.postings
+    FROM totals t JOIN post p USING (term)
     """,
 }
 

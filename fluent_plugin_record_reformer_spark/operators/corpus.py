@@ -231,3 +231,63 @@ def tfidf_topk(
             "rnk",
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_postings: int,
+) -> DataFrame:
+    """Capped inverted index: one row per term with its document
+    frequency, total occurrence count, and a posting string
+    ``"doc:tf,doc:tf,..."`` of the ``max_postings`` highest-tf
+    documents (ties to the smaller doc id) — the provenance /
+    term-lookup structure a curation pipeline keeps next to the
+    corpus.
+
+    Scale shape: tokens collapse to (term, doc) tf cells through one
+    partial-aggregated groupBy; df/total roll up from THOSE cells
+    (never re-scanning text); the posting cap runs through
+    :func:`grouped_topk` so no window and no unbounded
+    ``collect_list`` ever sees the raw cells — per-term state is
+    bounded at ``max_postings`` regardless of how stoppy a stopword
+    gets. The posting string concatenates in (rank, doc) order, which
+    is deterministic, so the result survives a cross-engine value
+    hash."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(word_tokens(text_col)).alias("term"),
+        )
+        .groupBy("term", "_doc")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    totals = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("_tf").alias("total_tf"),
+    )
+    top = grouped_topk(
+        tf,
+        group_cols=["term"],
+        order_struct=F.struct(
+            (-F.col("_tf")).alias("_neg_tf"), F.col("_doc").alias("_doc")
+        ),
+        k=max_postings,
+        rank_col="_rnk",
+    )
+    postings = top.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("_rnk", "_doc", (-F.col("_neg_tf")).alias("_tf"))
+                    )
+                ),
+                lambda s: F.concat_ws(":", s["_doc"], s["_tf"]),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return totals.join(postings, on="term")

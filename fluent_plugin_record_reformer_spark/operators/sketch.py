@@ -274,3 +274,181 @@ SELECT {sel_groups}CAST(round(
          END) AS BIGINT) AS approx_distinct
 FROM mins
 """
+
+
+def _seeded_hash(col: Column | str, seed: int) -> Column:
+    """The deterministic_sample / weighted_sample gate hash: uniform
+    60-bit md5-derived int64 of ``seed|value`` (identical in DuckDB
+    via :func:`seeded_hash_sql`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def seeded_hash_sql(value_expr: str, seed: int) -> str:
+    """DuckDB mirror of :func:`_seeded_hash`."""
+    return (
+        f"CAST('0x' || substr(md5('{seed}' || '|' || "
+        f"CAST({value_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+
+
+def bottomk_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    key_col: str,
+    k: int = 256,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    seed: int = 0,
+) -> DataFrame:
+    """Mergeable approximate quantiles via a DETERMINISTIC bottom-k
+    uniform row sample.
+
+    Rows whose ``hash(seed|key)`` is among the k smallest per group
+    form a uniform without-replacement sample of the group (the hash
+    is a pure function of the row key, so the sample — unlike
+    ``df.sample()`` or ``percentile_approx`` internals — is identical
+    across reruns, repartitions, and engines, and a DuckDB oracle can
+    reproduce it bit-for-bit). The q-quantile estimate is the sample
+    value at rank ``max(1, ceil(q * n_sample))``; classical sample-
+    quantile theory bounds the rank error by ~sqrt(q(1-q)/k) — ~3% at
+    the k=256 default — and the estimate is EXACT whenever the group
+    holds at most k rows (the sample is then the whole group).
+
+    Scale shape: bottom-k selection runs through
+    :func:`~..corpus.grouped_topk` — per-(partition, group) bounded
+    local bottom-k, then an exact window over only the k x groups x
+    partitions candidates — so no window ever touches the raw table
+    and the final per-group state is exactly k (value, hash) structs.
+    This is the sketch counterpart of ``exact_quantiles``: one cheap
+    pass with bounded state versus the chunked-rank exact path.
+
+    Output: ``group_cols``, ``n_sample``, and one ``q<percent>``
+    column per requested quantile (e.g. ``q50``, ``q90``, ``q99``).
+    """
+    from .corpus import grouped_topk
+
+    gcols = list(group_cols)
+    h = _seeded_hash(key_col, seed)
+    base = df.select(
+        *gcols, F.col(value_col).alias("_v"), h.alias("_h")
+    ).filter(F.col("_v").isNotNull())
+    samp = grouped_topk(
+        base,
+        group_cols=gcols,
+        order_struct=F.struct(F.col("_h"), F.col("_v")),
+        k=k,
+        rank_col="_rnk",
+    )
+    vals = samp.groupBy(*gcols).agg(
+        F.sort_array(F.collect_list("_v")).alias("_vals")
+    )
+    n = F.size("_vals")
+    cols = [F.col(c) for c in gcols] + [n.alias("n_sample")]
+    for q in quantiles:
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * n).cast("int"))
+        cols.append(
+            F.element_at("_vals", rank).alias(f"q{int(round(q * 100))}")
+        )
+    return vals.select(*cols)
+
+
+def bottomk_quantile_sql(
+    value_expr: str,
+    key_expr: str,
+    group_cols: Sequence[str],
+    from_clause: str,
+    *,
+    k: int = 256,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`bottomk_quantile_sketch` (same hash,
+    same bottom-k set, same rank arithmetic)."""
+    h = seeded_hash_sql(key_expr, seed)
+    groups = ", ".join(group_cols)
+    sel_groups = f"{groups}, " if groups else ""
+    part = f"PARTITION BY {groups} " if groups else ""
+    by = f"GROUP BY {groups}" if groups else ""
+    qcols = ", ".join(
+        f"_vals[greatest(1, CAST(ceil({q!r} * len(_vals)) AS INT))]"
+        f" AS q{int(round(q * 100))}"
+        for q in quantiles
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {sel_groups}{value_expr} AS _v, {h} AS _h
+  FROM {from_clause} WHERE {value_expr} IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER ({part}ORDER BY _h, _v) AS _rnk FROM hashed
+), sampled AS (
+  SELECT {sel_groups}list_sort(list(_v)) AS _vals
+  FROM ranked WHERE _rnk <= {k} {by}
+)
+SELECT {sel_groups}len(_vals) AS n_sample, {qcols} FROM sampled
+"""
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_cols: Sequence[str],
+    *,
+    target_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: downsample every stratum to
+    ~``target_per_stratum`` expected rows (strata already at or below
+    the target are kept whole) — the standard rebalancing move before
+    training on source-skewed corpora.
+
+    Two-phase: per-stratum counts (a tiny partial-aggregated groupBy)
+    set the keep rate ``least(1, target / count)``, broadcast back
+    onto the raw rows, and the same value-pure hash gate as
+    :func:`deterministic_sample` decides each row — so the selected
+    set is a pure function of (seed, key, strata counts): identical
+    across reruns, repartitions, and engines. Counts are expected
+    values, not exact (a hash gate cannot hit an exact target without
+    a per-stratum rank, i.e. a full sort — the wrong trade at scale;
+    binomial deviation is ~sqrt(target)).
+    """
+    gcols = list(strata_cols)
+    rates = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_cnt"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("_cnt")
+    )
+    joined = df.join(F.broadcast(rates.withColumn("_rate", rate)), on=gcols)
+    h = _seeded_hash(key_col, seed)
+    return joined.filter(
+        h.cast("double") < F.col("_rate") * F.lit(HASH_SPACE)
+    ).drop("_cnt", "_rate")
+
+
+def stratified_gate_sql(
+    key_expr: str,
+    strata_cols: Sequence[str],
+    from_clause: str,
+    *,
+    target_per_stratum: int,
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`stratified_sample` — returns a full
+    ``SELECT * FROM ... WHERE <gate>`` over the joined rate."""
+    groups = ", ".join(strata_cols)
+    h = seeded_hash_sql(key_expr, seed)
+    return f"""
+SELECT d.* FROM {from_clause} d
+JOIN (
+  SELECT {groups},
+         least(1.0, {float(target_per_stratum)!r} / count(*)) AS _rate
+  FROM {from_clause} GROUP BY {groups}
+) r USING ({groups})
+WHERE CAST({h} AS DOUBLE) < _rate * {HASH_SPACE!r}
+"""

@@ -1,0 +1,173 @@
+"""Unit + error-bound tests for the round-5 additions:
+operators/sequence (transitions) and the bottom-k quantile sketch /
+stratified sampler in operators/sketch.
+
+Cross-engine value parity is covered by test_entry_oracle; these tests
+pin the SEMANTICS (pair adjacency, keep-whole strata, posting caps)
+and the statistical contract the oracle cannot see (sketch quantile
+rank error vs the exact quantile).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_record_reformer_spark.operators.corpus import inverted_index
+from fluent_plugin_record_reformer_spark.operators.sequence import (
+    transition_matrix,
+    transitions,
+)
+from fluent_plugin_record_reformer_spark.operators.sketch import (
+    bottomk_quantile_sketch,
+    stratified_sample,
+)
+
+
+def test_transitions_pairs_in_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (1, 20, "b"),
+            (1, 30, "a"),
+            (2, 5, "c"),
+            (2, 6, "c"),
+            (3, 1, "z"),  # single event: no pair
+        ],
+        "k int, o int, s string",
+    )
+    got = sorted(
+        transitions(df, key_col="k", state_col="s", order_cols=["o"])
+        .select("k", "from_state", "to_state")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [
+        (1, "a", "b"),
+        (1, "b", "a"),
+        (2, "c", "c"),
+    ]
+
+
+def test_transitions_tiebreak_is_deterministic(spark):
+    # two events share a timestamp: the unique id column must decide
+    df = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 10, 101, "b"), (1, 20, 102, "c")],
+        "k int, o int, uid int, s string",
+    )
+    got = [
+        (r["from_state"], r["to_state"])
+        for r in transitions(
+            df, key_col="k", state_col="s", order_cols=["o", "uid"]
+        )
+        .orderBy("from_state")
+        .collect()
+    ]
+    assert got == [("a", "b"), ("b", "c")]
+
+
+def test_transition_matrix_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "a"), (2, 2, "b"), (2, 3, "a")],
+        "k int, o int, s string",
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["n_keys"])
+        for r in transition_matrix(
+            df, key_col="k", state_col="s", order_cols=["o"]
+        ).collect()
+    }
+    assert got == {("a", "b"): (2, 2), ("b", "a"): (1, 1)}
+
+
+def test_quantile_sketch_exact_when_group_fits(spark):
+    # n <= k: the sample is the whole group -> exact quantiles
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id int, v double"
+    )
+    row = bottomk_quantile_sketch(
+        df, "v", [], key_col="id", k=256, quantiles=(0.5, 0.9), seed=0
+    ).collect()
+    # empty group_cols path: operator requires at least one group col?
+    # (bottomk_quantile_sketch supports [] via grouped_topk on no cols)
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_sample"] == 100
+    assert r["q50"] == 50.0  # ceil(0.5*100) = 50th smallest
+    assert r["q90"] == 90.0
+
+
+def test_quantile_sketch_error_bound(spark):
+    # 20k rows, k=256: rank error ~ sqrt(q(1-q)/k) ~ 3%; assert a
+    # generous 5-sigma bound so the test is deterministic-safe for the
+    # fixed seed yet would catch a broken estimator instantly.
+    n, k = 20000, 256
+    df = spark.range(1, n + 1).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id").cast("double")).alias("v"),
+    )
+    r = bottomk_quantile_sketch(
+        df, "v", [], key_col="id", k=k, quantiles=(0.5, 0.9), seed=3
+    ).collect()[0]
+    assert r["n_sample"] == k
+    for q, est in ((0.5, r["q50"]), (0.9, r["q90"])):
+        sigma = math.sqrt(q * (1 - q) / k)
+        assert abs(est / n - q) < 5 * sigma, (q, est)
+
+
+def test_stratified_sample_keeps_small_strata_whole(spark):
+    rows = [(i, "tiny") for i in range(10)] + [
+        (1000 + i, "big") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = (
+        stratified_sample(df, "id", ["s"], target_per_stratum=50, seed=1)
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    by = {r["s"]: r["count"] for r in got}
+    assert by["tiny"] == 10  # rate 1.0: every row kept
+    # big stratum: binomial(2000, 0.025) -> expect ~50, 5-sigma ~ 35
+    assert 15 <= by["big"] <= 85
+
+
+def test_stratified_sample_is_rerun_stable(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    a = set(
+        r["id"]
+        for r in stratified_sample(
+            df, "id", ["s"], target_per_stratum=100, seed=2
+        ).collect()
+    )
+    b = set(
+        r["id"]
+        for r in stratified_sample(
+            df.repartition(7), "id", ["s"], target_per_stratum=100, seed=2
+        ).collect()
+    )
+    assert a == b and a  # same rows regardless of partitioning
+
+
+def test_inverted_index_caps_postings(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x common"),
+            (2, "x x common"),
+            (3, "x common"),
+            (4, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: r
+        for r in inverted_index(
+            docs, id_col="doc_id", text_col="text", max_postings=2
+        ).collect()
+    }
+    x = got["x"]
+    assert x["doc_freq"] == 3 and x["total_tf"] == 6
+    assert x["postings"] == "1:3,2:2"  # top-2 by tf desc, capped
+    c = got["common"]
+    assert c["doc_freq"] == 4 and c["postings"] == "1:1,2:1"  # tf tie -> id
