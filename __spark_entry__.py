@@ -1533,6 +1533,68 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_SALT_R = 8
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted equi-join (operators/joins.salted_join):
+    facts join a per-(event_type, day) count dim on a 5-value key —
+    exactly the hot-key shape that sends a third of a 100 TB table to
+    one reducer. The fact side gains a deterministic 8-way salt
+    (pmod(xxhash64(event_id), 8)), the dim replicates 8x via one
+    explode, and the join key widens to (type, day, salt). Results are
+    provably the plain join: the oracle runs the UNSALTED join, so the
+    parity gate certifies the equivalence, and the aggregate
+    sum-of-day-counts (= Σ cnt² per type) checksums the fan-out."""
+    from fluent_plugin_record_reformer_spark.operators.joins import (
+        salted_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.select(
+        "event_id", "event_type", F.to_date("ts").alias("d")
+    )
+    dim = facts.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("day_cnt")
+    )
+    j = salted_join(
+        facts,
+        dim,
+        ["event_type", "d"],
+        salt_col="event_id",
+        salt_partitions=SKEW_SALT_R,
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("day_cnt").alias("sum_cnt_sq"),
+        F.countDistinct("d").alias("n_days"),
+    )
+
+
+CHUNK_TOKENS, CHUNK_OVERLAP = 16, 4
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for embedding/RAG ingest
+    (operators/corpus.chunk_documents): 16-token windows every 12
+    tokens (4-token overlap), redundant trailing windows suppressed.
+    Raw chunk rows are returned, so the cross-engine hash certifies
+    every chunk TEXT byte-for-byte, not just counts. One projection +
+    one explode — no shuffle, no UDF."""
+    from fluent_plugin_record_reformer_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1602,6 +1664,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_sketch": q_quantile_sketch,
     "stratified_sample": q_stratified_sample,
     "inverted_index": q_inverted_index,
+    "skew_join": q_skew_join,
+    "doc_chunks": q_doc_chunks,
 }
 
 
@@ -2583,6 +2647,46 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
     )
     SELECT t.term, t.doc_freq, t.total_tf, p.postings
     FROM totals t JOIN post p USING (term)
+    """,
+    # the UNSALTED join: parity with the salted Spark plan proves the
+    # salt+replicate rewrite is result-identical
+    "skew_join": """
+    WITH facts AS (
+      SELECT event_id, event_type, CAST(ts AS DATE) AS d FROM events
+    ), dim AS (
+      SELECT event_type, d, CAST(count(*) AS BIGINT) AS day_cnt
+      FROM facts GROUP BY 1, 2
+    )
+    SELECT f.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(day_cnt) AS BIGINT) AS sum_cnt_sq,
+           CAST(count(DISTINCT f.d) AS BIGINT) AS n_days
+    FROM facts f JOIN dim USING (event_type, d)
+    GROUP BY 1
+    """,
+    "doc_chunks": f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), st AS (
+      SELECT doc_id, t,
+             unnest(list_filter(
+               range(1, len(t) + 1, {CHUNK_TOKENS - CHUNK_OVERLAP}),
+               s -> s = 1 OR s - {CHUNK_TOKENS - CHUNK_OVERLAP}
+                    + {CHUNK_TOKENS} <= len(t)
+             )) AS start
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 AS INT)
+             AS chunk_idx,
+           array_to_string(
+             list_slice(t, start, start + {CHUNK_TOKENS - 1}), ' '
+           ) AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, len(t) - start + 1) AS INT)
+             AS n_tokens
+    FROM st
     """,
 }
 

@@ -291,3 +291,74 @@ def inverted_index(
         ).alias("postings")
     )
     return totals.join(postings, on="term")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Sliding-window document chunking — the document→passage step of
+    an embedding / RAG ingest pipeline.
+
+    Each document's token array (``word_tokens`` tokenization) splits
+    into windows of ``chunk_tokens`` tokens starting every
+    ``chunk_tokens - overlap`` positions; consecutive chunks share
+    ``overlap`` tokens. A trailing window whose content is already
+    fully covered by its predecessor is suppressed (kept only when it
+    reaches past the predecessor's end), so every emitted chunk
+    contributes new tokens; documents with no tokens yield no chunks.
+
+    Output: ``id_col``, ``chunk_idx`` (1-based, == (start-1)/stride+1
+    — pure arithmetic on the start offset, so no engine-specific
+    ordinality semantics are involved), ``chunk_text``, ``n_tokens``.
+
+    Scale shape: one projection + one explode — no shuffle, no UDF;
+    the per-row state is the token array already implied by
+    tokenization. Fan-out is ~n_tokens/stride rows per document,
+    bounded by the document length itself.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1: {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens): {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    # stage tokenization in its own projection: the array is referenced
+    # by the start-list HOF, the slice, and the length arithmetic, and
+    # HOFs are CodegenFallback — inlining the regexp pipeline into each
+    # site re-evaluates it per reference
+    staged = docs.select(
+        F.col(id_col), word_tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    n = F.size("_toks")
+    starts = F.filter(
+        F.sequence(F.lit(1), n, F.lit(stride)),
+        # keep the first window and any window reaching past its
+        # predecessor's end (predecessor covers s-stride .. s-stride
+        # + chunk_tokens - 1)
+        lambda s: (s == 1) | (s - stride + chunk_tokens <= n),
+    )
+    # starts always holds s=1 here (n > 0), so explode_outer ≡ explode
+    # without the planner's pushed-down size()>0 filter re-inlining the
+    # array expression
+    ex = staged.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode_outer(starts).alias("_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start"), F.lit(chunk_tokens))
+    return ex.select(
+        F.col(id_col),
+        ((F.col("_start") - 1) / F.lit(stride) + 1)
+        .cast("int")
+        .alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.size("_toks") - F.col("_start") + 1
+        ).alias("n_tokens"),
+    )

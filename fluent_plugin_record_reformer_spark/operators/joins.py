@@ -28,6 +28,8 @@ joins); the semantics (inclusive bounds both ends) match a plain SQL
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,3 +123,46 @@ def bucketed_range_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     )
     return joined.drop("_bkt")
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    *,
+    salt_col: str,
+    salt_partitions: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: salt the fact side, replicate the dim.
+
+    A shuffle join on a skewed key sends every row of the hot key to
+    ONE reducer — at 100 TB one task processes a third of the table
+    while a thousand idle. AQE's skew-join split helps only
+    sort-merge-join stages it can observe; this operator bakes the fix
+    into the logical plan: facts gain a deterministic salt
+    ``pmod(xxhash64(salt_col), R)`` (a pure function of a fact column,
+    so reruns shuffle identically), the dim is replicated R times via
+    one ``explode(sequence(...))``, and the join key becomes
+    ``on + [_salt]`` — the hot key now spreads over R reducers.
+
+    Results are EXACTLY a plain ``facts.join(dim, on, how)``: every
+    fact row carries one salt value and meets each matching dim row in
+    precisely the replica bearing that salt (inner/left semantics
+    preserved; dim-side duplicates still fan out once per duplicate).
+    Cost: the dim shuffles R× its size — the right trade whenever the
+    dim is far smaller than the fact table but too big to broadcast.
+
+    ``salt_col`` should be high-cardinality (a unique id); salting BY
+    the join key itself would put all of a hot key's rows in one salt
+    bucket and change nothing.
+    """
+    if salt_partitions < 1:
+        raise ValueError(f"salt_partitions must be >= 1: {salt_partitions}")
+    keys = list(on)
+    r = F.lit(salt_partitions)
+    sf = facts.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), r))
+    sd = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), r - F.lit(1)))
+    )
+    return sf.join(sd, keys + ["_salt"], how).drop("_salt")

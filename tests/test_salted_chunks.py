@@ -1,0 +1,150 @@
+"""salted_join equivalence + plan shape; chunk_documents semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_record_reformer_spark.operators.corpus import (
+    chunk_documents,
+)
+from fluent_plugin_record_reformer_spark.operators.joins import salted_join
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_salted_join_matches_plain_join(spark):
+    facts = spark.range(0, 3000).select(
+        F.col("id").alias("fid"),
+        (F.col("id") % 3).alias("k"),  # 3 hot keys
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (1, "b2"), (2, "c")], "k long, attr string"
+    )
+    plain = facts.join(dim, ["k"])
+    salted = salted_join(facts, dim, ["k"], salt_col="fid", salt_partitions=7)
+    assert _rows(plain, "k", "fid", "attr") == _rows(
+        salted, "k", "fid", "attr"
+    )
+
+
+def test_salted_join_left_semantics(spark):
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "fid long, k long"
+    )
+    dim = spark.createDataFrame([(10, "x")], "k long, attr string")
+    out = salted_join(
+        facts, dim, ["k"], salt_col="fid", salt_partitions=4, how="left"
+    )
+    got = {r["fid"]: r["attr"] for r in out.collect()}
+    assert got == {1: "x", 2: None, 3: None}
+
+
+def test_salted_join_key_includes_salt(spark):
+    facts = spark.range(0, 100).select(
+        F.col("id").alias("fid"), (F.col("id") % 2).alias("k")
+    )
+    dim = spark.range(0, 2).select(F.col("id").alias("k"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+    )
+    try:
+        plan = (
+            salted_join(facts, dim, ["k"], salt_col="fid", salt_partitions=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "_salt" in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_salted_join_rejects_bad_partitions(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["id"], salt_col="id", salt_partitions=0)
+
+
+def _chunks(spark, text, chunk_tokens, overlap):
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+        ).collect()
+    )
+
+
+def test_chunks_cover_and_overlap(spark):
+    toks = [f"w{i}" for i in range(1, 21)]  # 20 tokens, N=8 V=2 stride=6
+    got = _chunks(spark, " ".join(toks), 8, 2)
+    assert got == [
+        (1, " ".join(toks[0:8]), 8),
+        (2, " ".join(toks[6:14]), 8),
+        (3, " ".join(toks[12:20]), 8),
+    ]
+
+
+def test_chunks_suppress_redundant_tail(spark):
+    # 8 tokens, N=8: exactly one chunk; a start at 7 would be a suffix
+    # of chunk 1 and must be suppressed
+    toks = [f"w{i}" for i in range(8)]
+    got = _chunks(spark, " ".join(toks), 8, 2)
+    assert got == [(1, " ".join(toks), 8)]
+
+
+def test_chunks_short_doc_single_chunk(spark):
+    got = _chunks(spark, "alpha beta", 16, 4)
+    assert got == [(1, "alpha beta", 2)]
+
+
+def test_chunks_empty_doc_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "...!!!"), (2, "ok token")], "doc_id long, text string"
+    )
+    out = chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_tokens=4, overlap=1
+    )
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_chunks_validation(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(
+            docs, id_col="doc_id", text_col="text", chunk_tokens=0
+        )
+    with pytest.raises(ValueError):
+        chunk_documents(
+            docs, id_col="doc_id", text_col="text", chunk_tokens=4, overlap=4
+        )
+
+
+def test_chunks_reconstruct_tokens(spark):
+    # dropping each chunk's leading `overlap` tokens (except chunk 1)
+    # and concatenating in chunk order must reproduce the document
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(1, 60)
+        toks = [f"t{rng.randint(0, 9)}x{i}" for i in range(n)]
+        chunk_tokens = rng.randint(2, 12)
+        overlap = rng.randint(0, chunk_tokens - 1)
+        got = _chunks(spark, " ".join(toks), chunk_tokens, overlap)
+        rebuilt = []
+        for idx, (ci, text, ntok) in enumerate(got, start=1):
+            assert ci == idx
+            words = text.split(" ")
+            assert len(words) == ntok
+            rebuilt.extend(words if idx == 1 else words[overlap:])
+        # every chunk after the first starts stride tokens later, so
+        # the suffix past the overlap is new material ending at the doc
+        assert rebuilt == toks, (n, chunk_tokens, overlap)
