@@ -1595,6 +1595,34 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEXTRANK_ITERS, TEXTRANK_SCALE, TEXTRANK_D = 3, 10_000, 85
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring: integer-exact distributed PageRank
+    (operators/graph.pagerank) over the corpus' symmetric adjacent-
+    token co-occurrence graph. Ranks are INT64 fixed-point (scale
+    10^4) so every per-iteration sum is order-free — the DuckDB oracle
+    unrolls the 3 iterations as CTEs and hash-matches bit-for-bit.
+    Each iteration is one same-key shuffle join + one partial-agg
+    groupBy; the edge exchange is materialized once (exchange reuse)
+    and reread by all iterations."""
+    from fluent_plugin_record_reformer_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = cooccurrence_edges(docs, text_col="text", tokenize=word_tokens)
+    ranked = pagerank(
+        edges,
+        iterations=TEXTRANK_ITERS,
+        damping_pct=TEXTRANK_D,
+        scale=TEXTRANK_SCALE,
+    )
+    return ranked.select(F.col("node").alias("term"), "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1666,6 +1694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "skew_join": q_skew_join,
     "doc_chunks": q_doc_chunks,
+    "textrank": q_textrank,
 }
 
 
@@ -2688,6 +2717,44 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
              AS n_tokens
     FROM st
     """,
+    "textrank": (lambda base, d, s, iters: f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), pos AS (
+      SELECT t, unnest(range(1, len(t))) AS i
+      FROM toks WHERE len(t) >= 2
+    ), pairs AS (
+      SELECT t[i] AS a, t[i + 1] AS b FROM pos WHERE t[i] <> t[i + 1]
+    ), directed AS (
+      SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+    ), edges AS (
+      SELECT a AS src, b AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM directed GROUP BY 1, 2
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst AS node FROM edges
+    ), wout AS (
+      SELECT src, sum(w) AS wt FROM edges GROUP BY 1
+    ), ew AS (
+      SELECT e.src, e.dst, e.w, wout.wt FROM edges e JOIN wout USING (src)
+    ), r0 AS (
+      SELECT node, CAST({s} AS BIGINT) AS rank FROM nodes
+    )""" + "".join(f""", r{t + 1} AS (
+      SELECT n.node,
+             CAST({base} + {d} * coalesce(c.sm, 0) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT ew.dst AS node, sum(r{t}.rank * ew.w // ew.wt) AS sm
+        FROM ew JOIN r{t} ON r{t}.node = ew.src GROUP BY 1
+      ) c USING (node)
+    )""" for t in range(iters)) + f"""
+    SELECT node AS term, rank FROM r{iters}
+    """)(
+        (TEXTRANK_SCALE * (100 - TEXTRANK_D)) // 100,
+        TEXTRANK_D,
+        TEXTRANK_SCALE,
+        TEXTRANK_ITERS,
+    ),
 }
 
 

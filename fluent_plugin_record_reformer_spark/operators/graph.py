@@ -1,0 +1,130 @@
+"""Integer-exact distributed PageRank (and the TextRank edge builder).
+
+PageRank's textbook form sums floating-point contributions whose
+addition order is nondeterministic under distributed aggregation — the
+same defect that makes naive float sums fail cross-engine value
+hashes. This implementation keeps every rank an INT64 in fixed-point
+``scale`` units:
+
+    r_{t+1}(v) = ((scale * (100 - d100)) div 100)
+               + (d100 * Σ_{u→v} (r_t(u) * w(u,v) div W(u))) div 100
+
+All products stay < 2^63 for scale ≤ 10^6 and corpora up to ~10^11
+total edge weight; sums of int64 are order-free, so the result is
+bit-identical across partitionings, reruns, AND engines — a DuckDB
+oracle unrolls the iterations as CTEs and hash-matches exactly.
+
+Scale shape: each iteration is one shuffle join (edges × ranks on src,
+both hash-partitioned by the same key) plus one partial-aggregated
+groupBy(dst). The edge table's exchange subtree is IDENTICAL in every
+iteration, so Spark's exchange reuse (pinned on by session.py — see
+operators/curation._require_exchange_reuse) materializes it once and
+rereads it; iterations are a FIXED count (the semantics), not a
+driver-side convergence loop, so the whole ladder is one lazy plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int,
+    damping_pct: int = 85,
+    scale: int = 10_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank over an edge list, in exact fixed-point.
+
+    ``edges`` holds (src, dst, weight≥1); node set = all endpoints.
+    Nodes without incoming edges settle at the base rank
+    ``scale*(100-damping_pct) div 100``; dangling nodes (no outgoing
+    edges) simply contribute nothing — symmetrize the edge list first
+    if mass conservation matters (TextRank's co-occurrence graph is
+    symmetric by construction, so there every node has out-edges).
+
+    Output: (node, rank) with rank in fixed-point ``scale`` units.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    if not 1 <= damping_pct <= 99:
+        raise ValueError(f"damping_pct must be in [1, 99]: {damping_pct}")
+    e = edges.select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("_dst"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    wout = e.groupBy("_src").agg(F.sum("_w").alias("_wt"))
+    # per-edge out-weight joined ONCE; every iteration reuses this
+    # exchange subtree (identical canonical plan -> ReusedExchange)
+    ew = e.join(wout, on="_src")
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = ew.join(
+            ranks.withColumnRenamed("node", "_src"), on="_src"
+        ).select(
+            F.col("_dst").alias("node"),
+            F.expr("rank * _w div _wt").alias("_c"),
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = nodes.join(incoming, on="node", how="left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"{int(damping_pct)} * coalesce(_s, 0L) div 100"
+                )
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def cooccurrence_edges(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    tokenize,
+) -> DataFrame:
+    """Symmetric adjacent-token co-occurrence edges for TextRank.
+
+    Every adjacent token pair (t[i], t[i+1]) across the corpus becomes
+    an undirected edge; weights count occurrences in both directions
+    (the pair is emitted twice, once per direction, so the graph is
+    symmetric and has no dangling nodes). Self-loops (repeated tokens)
+    are dropped — they only feed a node's rank back to itself.
+
+    One staged tokenization, one ``explode(sequence(...))`` of
+    POSITIONS (pure codegen — no pair-building HOF), one partial-
+    aggregated groupBy. Documents with fewer than 2 tokens contribute
+    nothing.
+    """
+    staged = docs.select(tokenize(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    pos = staged.select(
+        "_toks",
+        F.explode_outer(
+            F.sequence(F.lit(1), F.size("_toks") - 1)
+        ).alias("_i"),
+    )
+    pairs = pos.select(
+        F.element_at("_toks", F.col("_i")).alias("_a"),
+        F.element_at("_toks", F.col("_i") + 1).alias("_b"),
+    ).filter(F.col("_a") != F.col("_b"))
+    directed = pairs.union(
+        pairs.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    )
+    return directed.groupBy(
+        F.col("_a").alias("src"), F.col("_b").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("weight"))
