@@ -377,8 +377,13 @@ def _emit_bench(result: dict) -> None:
         if k not in ("query_runs", "saturated_pipeline_sec_runs")
     }
     summary["queries"] = {q: round(t, 2) for q, t in result["queries"].items()}
+    summary.pop("n_turns", None)  # in BENCH_DETAIL.json
+    summary.pop("saturated_n_turns", None)
     summary["detail"] = "BENCH_DETAIL.json"
-    print(json.dumps(summary))
+    # compact separators: ~4 bytes/query of headroom under the driver's
+    # bounded tail capture (69 queries ~= 1.6 KB this way, ~1.9 KB with
+    # default separators — too close to the clip that nulled BENCH_r04)
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":
