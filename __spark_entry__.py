@@ -720,8 +720,10 @@ def q_syslog_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         types={"pid": "long", "priority": "long"},
         single_pass=True,  # 8 fields -> one regex pass per row
     )
-    # min over the parsed classic timestamp (year-less "MMM d" maps to
-    # 1970 — chronological ordering is preserved within one calendar
+    # min over the parsed classic timestamp (year-less "MMM d" is
+    # anchored to 1972, a LEAP year — anchoring to the 1970 default
+    # would parse "Feb 29" lines to NULL and silently drop them from
+    # the min; chronological ordering is preserved within one calendar
     # year, the inherent ambit of syslog timestamps), HashAggregate
     # instead of the immutable-string-buffer SortAggregate fallback
     agg = parsed.groupBy("program").agg(
@@ -729,7 +731,10 @@ def q_syslog_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("logsource").alias("n_hosts"),
         F.countDistinct("message").alias("n_msgs"),
         F.min(
-            F.try_to_timestamp(F.col("timestamp"), F.lit("MMM d HH:mm:ss"))
+            F.try_to_timestamp(
+                F.concat(F.lit("1972 "), F.col("timestamp")),
+                F.lit("yyyy MMM d HH:mm:ss"),
+            )
         ).alias("_min_ts"),
         F.sum("pid").alias("sum_pid"),
         F.count("facility").alias("n_fac"),
@@ -848,10 +853,14 @@ def q_postfix_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("delay") * 100).cast("long").alias("sum_delay_cents"),
         F.sum("pid").alias("sum_pid"),
         F.countDistinct("logsource").alias("n_hosts"),
-        # parsed-timestamp min (see q_syslog_logs): HashAggregate, not
-        # the immutable-string-buffer SortAggregate fallback
+        # parsed-timestamp min anchored to leap year 1972 (see
+        # q_syslog_logs — 1970 would NULL-drop "Feb 29" lines):
+        # HashAggregate, not the immutable-string-buffer SortAggregate
         F.min(
-            F.try_to_timestamp(F.col("timestamp"), F.lit("MMM d HH:mm:ss"))
+            F.try_to_timestamp(
+                F.concat(F.lit("1972 "), F.col("timestamp")),
+                F.lit("yyyy MMM d HH:mm:ss"),
+            )
         ).alias("_min_ts"),
         F.count("response").alias("n_resp"),
     )

@@ -36,6 +36,27 @@ def seeded_md5(col: Column | str, seed: int | Column = 0) -> Column:
     return F.md5(F.concat_ws("|", seed_col, F.col(col) if isinstance(col, str) else col))
 
 
+def seeded_hash60(col: Column | str, seed: int) -> Column:
+    """Seeded uniform 60-bit int64 digest: ``seeded_md5`` of the
+    string-cast value, first 15 hex chars, hex->int64. THE canonical
+    construction behind every cross-engine hash gate in the repo
+    (deterministic/weighted/stratified sampling, the winnow min-hash
+    digest) — one definition here, one DuckDB mirror
+    (``oracle_mirrors.sql_seeded_hash60``), so the seven former
+    hand-kept copies cannot drift apart bit by bit.
+
+    A LONG digest matters twice over: the int64 prefix of the seeded
+    md5 is its own uniform permutation of the value space (MIN over it
+    is a valid min-hash), and a LONG min/max buffer is mutable, so
+    aggregations over it plan HashAggregate instead of the
+    immutable-string-buffer SortAggregate fallback.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(seeded_md5(c.cast("string"), seed), 1, 15), 16, 10
+    ).cast("long")
+
+
 def poly_fingerprint(col: Column | str) -> Column:
     """Polynomial rolling hash over the characters of a string:
     ``h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) % (1e9+7))``.

@@ -29,19 +29,21 @@ def sql_shingles(tokens_expr: str, n: int) -> str:
     return f"CASE WHEN len({tokens_expr}) >= {n} THEN {grams} ELSE {whole} END"
 
 
-def sql_minhash(shingles_expr: str, seed: int) -> str:
+def sql_seeded_hash60(value_expr: str, seed: int) -> str:
+    """DuckDB mirror of ``functions.hashing.seeded_hash60`` — the one
+    canonical seeded 60-bit int64 digest behind every hash gate."""
     return (
-        f"list_min(list_transform({shingles_expr}, "
-        f"s -> md5('{seed}' || '|' || s)))"
+        f"CAST('0x' || substr(md5('{seed}' || '|' || "
+        f"CAST({value_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
     )
 
 
 def sql_minhash60(shingles_expr: str, seed: int) -> str:
-    """Mirror of dedup._seeded_hash60 min (the int64 winnow digest):
-    seeded md5 -> first 15 hex chars -> int64, list_min."""
+    """Mirror of the int64 winnow digest: ``seeded_hash60`` min over a
+    shingle list."""
     return (
         f"list_min(list_transform({shingles_expr}, "
-        f"s -> CAST('0x' || substr(md5('{seed}' || '|' || s), 1, 15) AS BIGINT)))"
+        f"s -> {sql_seeded_hash60('s', seed)}))"
     )
 
 

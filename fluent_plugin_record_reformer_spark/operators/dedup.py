@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MINHASH_P, affine_consts, seeded_md5
+from ..functions.hashing import (
+    MINHASH_P,
+    affine_consts,
+    seeded_hash60,
+    seeded_md5,
+)
 from ..functions.text import shingles, word_tokens
 from ..sources.tables import ensure_compute_parallelism
 
@@ -54,15 +59,11 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _seeded_hash60(col: Column, seed: int) -> Column:
-    """Seeded 60-bit int64 digest (oracle mirror: sql_minhash60). The
-    int64 prefix of the seeded md5 is its own uniform permutation of
-    the value space, so MIN over it is a valid min-hash — and unlike
-    min over the hex STRING digest, a LONG min buffer is mutable, so
-    the winnow aggregation plans HashAggregate instead of the
-    SortAggregate fallback that sorted every exploded shingle row per
-    partition (round-5 plan sweep)."""
-    return F.conv(F.substring(seeded_md5(col, seed), 1, 15), 16, 10).cast("long")
+# Seeded 60-bit int64 digest (oracle mirror: sql_minhash60/
+# sql_seeded_hash60); MIN over it is a valid min-hash with a mutable
+# LONG agg buffer (HashAggregate, not the SortAggregate fallback —
+# round-5 plan sweep). Canonical definition lives in functions.hashing.
+_seeded_hash60 = seeded_hash60
 
 
 def _exploded_shingles(

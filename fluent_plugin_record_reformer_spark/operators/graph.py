@@ -54,10 +54,25 @@ def pagerank(
         raise ValueError(f"iterations must be >= 1: {iterations}")
     if not 1 <= damping_pct <= 99:
         raise ValueError(f"damping_pct must be in [1, 99]: {damping_pct}")
+    # In-plan guard for the weight>=1 contract (same pattern as the
+    # funnel / range-join span guards): a zero total out-weight would
+    # make `rank * _w div _wt` NULL and silently VANISH that node's
+    # rank mass (while the DuckDB mirror errors) — fail loudly instead.
+    # The assert is tied into the used column so constant folding
+    # cannot drop it; NULL weights fail the coalesced condition too.
+    # Guard on the LEFT of the add: binary ops null-short-circuit on a
+    # NULL LEFT operand without evaluating the right, so `w + guard`
+    # would silently skip the assert exactly when w IS NULL — the case
+    # it must catch (same lesson as the funnel/range-join guards).
+    w = F.col(weight_col).cast("long")
+    guard = F.assert_true(
+        F.coalesce(w >= 1, F.lit(False)),
+        F.lit("pagerank: every edge weight must be a non-null integer >= 1"),
+    )
     e = edges.select(
         F.col(src_col).alias("_src"),
         F.col(dst_col).alias("_dst"),
-        F.col(weight_col).cast("long").alias("_w"),
+        (F.coalesce(guard.cast("long"), F.lit(0)) + w).alias("_w"),
     )
     nodes = (
         e.select(F.col("_src").alias("node"))

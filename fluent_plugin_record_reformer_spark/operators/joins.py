@@ -107,6 +107,11 @@ def bucketed_range_join(
 
     ``max_span_buckets`` bounds per-interval replication; ``None``
     disables the guard (only when spans are known-bounded upstream)."""
+    if "_bkt" in facts.columns or "_bkt" in intervals.columns:
+        raise ValueError(
+            "bucketed_range_join uses '_bkt' as its working column; rename "
+            "the existing '_bkt' column on the input before joining."
+        )
     b = int(bucket_seconds) * 1_000_000  # integer micros: exact floor division
     iv = _interval_buckets(
         intervals,
@@ -156,10 +161,28 @@ def salted_join(
     ``salt_col`` should be high-cardinality (a unique id); salting BY
     the join key itself would put all of a hot key's rows in one salt
     bucket and change nothing.
+
+    Only fact-preserving join types are accepted: with the dim
+    replicated R times, an unmatched dim row would surface once PER
+    REPLICA under right/full-outer semantics (R null-padded rows where
+    a plain join emits one), so those modes raise instead of silently
+    inflating.
     """
     if salt_partitions < 1:
         raise ValueError(f"salt_partitions must be >= 1: {salt_partitions}")
+    normalized = how.lower().replace("_", "").replace("outer", "")
+    if normalized not in {"inner", "left", "leftsemi", "semi", "leftanti", "anti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the dim "
+            "breaks right/full-outer row multiplicity (unmatched dim rows "
+            f"would appear {salt_partitions}x). Use inner/left/semi/anti."
+        )
     keys = list(on)
+    if "_salt" in facts.columns or "_salt" in dim.columns:
+        raise ValueError(
+            "salted_join uses '_salt' as its working column; rename the "
+            "existing '_salt' column on the input before joining."
+        )
     r = F.lit(salt_partitions)
     sf = facts.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), r))
     sd = dim.withColumn(

@@ -134,6 +134,13 @@ def ivf_assign(
         rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
         if not rows:
             raise ValueError("ivf_assign: centroids are empty")
+        bad = [cid for cid, vec in rows
+               if vec is None or any(x is None for x in vec)]
+        if bad:
+            raise ValueError(
+                "ivf_assign: centroid vectors must be non-null with "
+                f"non-null elements; offending centroid ids: {bad[:5]}"
+            )
         cands = F.array(
             *[
                 F.struct(

@@ -34,6 +34,9 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import seeded_hash60
+from ..functions.oracle_mirrors import sql_seeded_hash60
+
 HASH_SPACE = float(2**60)  # shingle_base-style 15-hex-char digests
 
 
@@ -199,12 +202,7 @@ def deterministic_sample(
     needs for reproducible subsets and for consistent joins between
     sampled tables (sample both sides by the join key and the sample
     stays join-closed)."""
-    c = F.col(value_col)
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _seeded_hash(value_col, seed)
     return df.filter(h < int(fraction * HASH_SPACE))
 
 
@@ -223,30 +221,19 @@ def weighted_sample(
     value, so reruns/repartitions/engines keep the SAME rows — but the
     keep probability varies row by row: quality-weighted
     downsampling in one codegen'd predicate."""
-    c = F.col(value_col)
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _seeded_hash(value_col, seed)
     return df.filter(h.cast("double") < weight.cast("double") * F.lit(HASH_SPACE))
 
 
 def weighted_gate_sql(value_expr: str, weight_expr: str, *, seed: int = 0) -> str:
     """DuckDB mirror of the :func:`weighted_sample` predicate."""
-    h = (
-        f"CAST('0x' || substr(md5('{seed}' || '|' || "
-        f"CAST({value_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
-    )
+    h = seeded_hash_sql(value_expr, seed)
     return f"CAST({h} AS DOUBLE) < CAST({weight_expr} AS DOUBLE) * {HASH_SPACE!r}"
 
 
 def sample_gate_sql(value_expr: str, fraction: float, *, seed: int = 0) -> str:
     """DuckDB mirror of the deterministic_sample predicate."""
-    h = (
-        f"CAST('0x' || substr(md5('{seed}' || '|' || "
-        f"CAST({value_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
-    )
+    h = seeded_hash_sql(value_expr, seed)
     return f"{h} < {int(fraction * HASH_SPACE)}"
 
 
@@ -276,26 +263,11 @@ FROM mins
 """
 
 
-def _seeded_hash(col: Column | str, seed: int) -> Column:
-    """The deterministic_sample / weighted_sample gate hash: uniform
-    60-bit md5-derived int64 of ``seed|value`` (identical in DuckDB
-    via :func:`seeded_hash_sql`)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-
-
-def seeded_hash_sql(value_expr: str, seed: int) -> str:
-    """DuckDB mirror of :func:`_seeded_hash`."""
-    return (
-        f"CAST('0x' || substr(md5('{seed}' || '|' || "
-        f"CAST({value_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
-    )
+# The sampling gate hash and its DuckDB mirror — canonical definitions
+# in functions.hashing / functions.oracle_mirrors (shared with the
+# winnow digest in dedup; one construction, one mirror, no drift).
+_seeded_hash = seeded_hash60
+seeded_hash_sql = sql_seeded_hash60
 
 
 def bottomk_quantile_sketch(
@@ -418,17 +390,33 @@ def stratified_sample(
     values, not exact (a hash gate cannot hit an exact target without
     a per-stratum rank, i.e. a full sort — the wrong trade at scale;
     binomial deviation is ~sqrt(target)).
+
+    The rate join is NULL-SAFE: rows whose strata column is NULL form
+    their own stratum and are sampled like any other, instead of
+    silently vanishing through null-rejecting join equality.
     """
     gcols = list(strata_cols)
+    clash = {"_rate", *(f"_g_{c}" for c in gcols)} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"stratified_sample working columns clash with input: {sorted(clash)}"
+        )
     rates = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_cnt"))
     rate = F.least(
         F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("_cnt")
     )
-    joined = df.join(F.broadcast(rates.withColumn("_rate", rate)), on=gcols)
+    rates = rates.withColumn("_rate", rate).select(
+        *[F.col(c).alias(f"_g_{c}") for c in gcols], "_rate"
+    )
+    cond = None
+    for c in gcols:
+        eq = df[c].eqNullSafe(F.col(f"_g_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = df.join(F.broadcast(rates), on=cond)
     h = _seeded_hash(key_col, seed)
     return joined.filter(
         h.cast("double") < F.col("_rate") * F.lit(HASH_SPACE)
-    ).drop("_cnt", "_rate")
+    ).drop("_rate", *[f"_g_{c}" for c in gcols])
 
 
 def stratified_gate_sql(
@@ -440,8 +428,13 @@ def stratified_gate_sql(
     seed: int = 0,
 ) -> str:
     """DuckDB mirror of :func:`stratified_sample` — returns a full
-    ``SELECT * FROM ... WHERE <gate>`` over the joined rate."""
+    ``SELECT * FROM ... WHERE <gate>`` over the joined rate. The join
+    mirrors the Spark side's null-safe equality (``IS NOT DISTINCT
+    FROM``) so NULL strata sample instead of dropping."""
     groups = ", ".join(strata_cols)
+    on = " AND ".join(
+        f"d.{c} IS NOT DISTINCT FROM r.{c}" for c in strata_cols
+    )
     h = seeded_hash_sql(key_expr, seed)
     return f"""
 SELECT d.* FROM {from_clause} d
@@ -449,6 +442,6 @@ JOIN (
   SELECT {groups},
          least(1.0, {float(target_per_stratum)!r} / count(*)) AS _rate
   FROM {from_clause} GROUP BY {groups}
-) r USING ({groups})
+) r ON {on}
 WHERE CAST({h} AS DOUBLE) < _rate * {HASH_SPACE!r}
 """

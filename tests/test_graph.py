@@ -80,3 +80,23 @@ def test_cooccurrence_edges_symmetric_no_selfloops(spark):
     # "a b a b": pairs (a,b),(b,a),(a,b) -> symmetric weight 3 each way;
     # "b b" is a self-loop (dropped); "solo" has no pairs
     assert got == {("a", "b"): 3, ("b", "a"): 3}
+
+
+def test_pagerank_rejects_nonpositive_weights_in_plan(spark):
+    # a zero out-weight would NULL `rank * w div wt` and silently
+    # vanish that node's rank mass — the in-plan guard must throw
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bad = spark.createDataFrame(
+        [("a", "b", 0), ("b", "a", 1)], "src string, dst string, weight int"
+    )
+    with pytest.raises(Exception) as ei:
+        pagerank(bad, iterations=1).collect()
+    assert "weight" in str(ei.value)
+    null_w = spark.createDataFrame(
+        [("a", "b", None), ("b", "a", 1)],
+        "src string, dst string, weight int",
+    )
+    with pytest.raises(Exception) as ei2:
+        pagerank(null_w, iterations=1).collect()
+    assert "weight" in str(ei2.value)

@@ -204,3 +204,20 @@ def test_reform_affix_is_codegen_substring_index(spark):
     assert "substring_index" in plan
     for node in ("array_join", "sequence(1"):
         assert node not in plan, f"interpreted affix array is back: {node}"
+
+
+def test_ivf_assign_rejects_null_centroid_vectors(spark):
+    import pytest
+    from fluent_plugin_record_reformer_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0])],
+        "centroid_id int, centroid_vec array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        ivf_assign(vecs, cents)

@@ -148,3 +148,23 @@ def test_chunks_reconstruct_tokens(spark):
         # every chunk after the first starts stride tokens later, so
         # the suffix past the overlap is new material ending at the doc
         assert rebuilt == toks, (n, chunk_tokens, overlap)
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    facts = spark.createDataFrame([(1, 0)], "k long, fid long")
+    dim = spark.createDataFrame([(1, "a")], "k long, attr string")
+    # dim replication breaks right/full multiplicity: must raise, not
+    # silently emit salt_partitions null-padded rows per unmatched dim
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError):
+            salted_join(facts, dim, ["k"], salt_col="fid", how=how)
+    # fact-preserving modes stay accepted
+    for how in ("inner", "left", "left_outer", "leftsemi", "leftanti"):
+        salted_join(facts, dim, ["k"], salt_col="fid", how=how)
+
+
+def test_salted_join_rejects_working_column_clash(spark):
+    facts = spark.createDataFrame([(1, 0, 9)], "k long, fid long, _salt long")
+    dim = spark.createDataFrame([(1, "a")], "k long, attr string")
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, ["k"], salt_col="fid")

@@ -171,3 +171,28 @@ def test_inverted_index_caps_postings(spark):
     assert x["postings"] == "1:3,2:2"  # top-2 by tf desc, capped
     c = got["common"]
     assert c["doc_freq"] == 4 and c["postings"] == "1:1,2:1"  # tf tie -> id
+
+
+def test_stratified_sample_null_stratum_sampled_not_dropped(spark):
+    # null-rejecting join equality would silently DROP every row whose
+    # strata column is NULL; the null-safe join keeps them as their own
+    # stratum (here below target -> kept whole)
+    rows = [(i, None) for i in range(7)] + [
+        (100 + i, "web") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = (
+        stratified_sample(df, "id", ["s"], target_per_stratum=500, seed=3)
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    by = {r["s"]: r["count"] for r in got}
+    assert by.get(None) == 7
+    assert by.get("web") == 50
+
+
+def test_stratified_sample_rejects_working_column_clash(spark):
+    df = spark.createDataFrame([(1, "a", 0.5)], "id long, s string, _rate double")
+    with pytest.raises(ValueError):
+        stratified_sample(df, "id", ["s"], target_per_stratum=5)
