@@ -55,6 +55,7 @@ from fluent_plugin_record_reformer_spark.operators.sketch import (
     deterministic_sample,
     kmv_distinct,
     kmv_oracle_sql,
+    reservoir_oracle_sql,
     sample_gate_sql,
     stratified_gate_sql,
     stratified_sample,
@@ -1524,6 +1525,33 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K, RESERVOIR_SEED = 2, 11
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-per-group sampling (operators/sketch.grouped_reservoir):
+    the 2 documents with the smallest seeded hash per source — a
+    deterministic reservoir routed through the bounded-state
+    grouped_topk shape (per-partition candidates, rank over the tiny
+    candidate set) instead of a raw-table window. Raw sampled rows are
+    returned, so the cross-engine hash certifies BOTH engines picked
+    the identical reservoir."""
+    from fluent_plugin_record_reformer_spark.operators.sketch import (
+        grouped_reservoir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = grouped_reservoir(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        ["source"],
+        "doc_id",
+        RESERVOIR_K,
+        seed=RESERVOIR_SEED,
+        rank_col="sample_rank",
+    )
+    return kept.select("source", "doc_id", "lang", "n_chars", "sample_rank")
+
+
 INVIDX_POSTINGS = 3
 
 
@@ -1700,6 +1728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_transitions": q_markov_transitions,
     "quantile_sketch": q_quantile_sketch,
     "stratified_sample": q_stratified_sample,
+    "reservoir_sample": q_reservoir_sample,
     "inverted_index": q_inverted_index,
     "skew_join": q_skew_join,
     "doc_chunks": q_doc_chunks,
@@ -2660,6 +2689,15 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            CAST(sum(event_id) AS BIGINT) AS sum_ids
     FROM kept GROUP BY 1
     """,
+    "reservoir_sample": reservoir_oracle_sql(
+        ["source", "doc_id", "lang", "n_chars"],
+        ["source"],
+        "doc_id",
+        "(SELECT doc_id, lang, source, n_chars FROM documents)",
+        k=RESERVOIR_K,
+        seed=RESERVOIR_SEED,
+        rank_as="sample_rank",
+    ),
     "inverted_index": f"""
     WITH toks AS (
       SELECT doc_id AS _doc,

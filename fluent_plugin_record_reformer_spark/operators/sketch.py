@@ -185,6 +185,92 @@ def kmv_distinct(
     )
 
 
+def grouped_reservoir(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """EXACT deterministic k-per-group sample: the k rows with the
+    smallest ``seeded_hash60(key)`` in each group (all rows if the
+    group is smaller) — a reservoir sample whose reservoir is a pure
+    function of the data.
+
+    Complements :func:`stratified_sample` (expected counts, one
+    codegen'd predicate, no per-group rank): when the contract is
+    "exactly k per group", the classic shape — ``row_number() OVER
+    (PARTITION BY group ORDER BY hash)`` on the raw table — shuffles
+    and sorts EVERY row into one task per group. This routes through
+    :func:`~..corpus.grouped_topk` instead: per-partition candidate
+    top-k (bounded at k x groups x partitions rows) then an exact rank
+    over that tiny set, the same bounded-state shape as the inverted
+    index's posting cap. Uniformity: the seeded 60-bit digest is a
+    uniform permutation of the key space, so "k smallest hashes" is a
+    uniform without-replacement sample; determinism is the same
+    value-pure contract as :func:`deterministic_sample` (reruns,
+    repartitions, and engines pick the SAME rows).
+
+    ``key_col`` should be unique per row (ties beyond the 60-bit hash
+    break on the full row struct, deterministically). ``rank_col``
+    optionally exposes the 1-based sample rank.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from .corpus import grouped_topk
+
+    gcols = list(group_cols)
+    clash = {"_h", "_row", "_rr_rank"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"grouped_reservoir working columns clash with input: {sorted(clash)}"
+        )
+    order = F.struct(
+        _seeded_hash(key_col, seed).alias("_h"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+    )
+    top = grouped_topk(
+        df, group_cols=gcols, order_struct=order, k=k, rank_col="_rr_rank"
+    )
+    rest = [
+        F.col("_row")[c].alias(c) for c in df.columns if c not in set(gcols)
+    ]
+    tail = [F.col("_rr_rank").alias(rank_col)] if rank_col else []
+    return top.select(*gcols, *rest, *tail)
+
+
+def reservoir_oracle_sql(
+    select_cols: Sequence[str],
+    group_cols: Sequence[str],
+    key_expr: str,
+    from_clause: str,
+    *,
+    k: int,
+    seed: int = 0,
+    rank_as: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`grouped_reservoir`: row_number over
+    (group, hash asc, key asc) capped at k. The key tiebreak matches
+    the Spark side's row-struct tiebreak whenever ``key_expr`` is the
+    struct's leading field (which it is for any table whose key column
+    comes first)."""
+    h = seeded_hash_sql(key_expr, seed)
+    groups = ", ".join(group_cols)
+    cols = ", ".join(select_cols)
+    # CAST to INT: DuckDB's row_number is BIGINT, Spark's is INT
+    rank_sel = f", CAST(_rank AS INT) AS {rank_as}" if rank_as else ""
+    return f"""
+SELECT {cols}{rank_sel} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {groups} ORDER BY {h}, {key_expr}
+  ) AS _rank
+  FROM {from_clause}
+) WHERE _rank <= {k}
+"""
+
+
 def deterministic_sample(
     df: DataFrame,
     value_col: str,

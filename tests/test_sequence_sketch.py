@@ -196,3 +196,50 @@ def test_stratified_sample_rejects_working_column_clash(spark):
     df = spark.createDataFrame([(1, "a", 0.5)], "id long, s string, _rate double")
     with pytest.raises(ValueError):
         stratified_sample(df, "id", ["s"], target_per_stratum=5)
+
+
+def test_grouped_reservoir_exact_k_and_small_groups_whole(spark):
+    from fluent_plugin_record_reformer_spark.operators.sketch import (
+        grouped_reservoir,
+    )
+
+    rows = [(i, "big") for i in range(500)] + [(1000 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = grouped_reservoir(df, ["g"], "id", 5, seed=2, rank_col="r")
+    by = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert by == {"big": 5, "tiny": 3}  # exact k / whole small group
+    ranks = sorted(r["r"] for r in out.filter("g = 'big'").collect())
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_grouped_reservoir_stable_under_repartition_and_rerun(spark):
+    from fluent_plugin_record_reformer_spark.operators.sketch import (
+        grouped_reservoir,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 4).alias("g")
+    )
+    a = sorted(
+        tuple(r) for r in grouped_reservoir(df, ["g"], "id", 7, seed=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in grouped_reservoir(
+            df.repartition(17), ["g"], "id", 7, seed=5
+        ).collect()
+    )
+    assert a == b and len(a) == 28
+
+
+def test_grouped_reservoir_validation(spark):
+    from fluent_plugin_record_reformer_spark.operators.sketch import (
+        grouped_reservoir,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError):
+        grouped_reservoir(df, ["g"], "id", 0)
+    clash = spark.createDataFrame([(1, "a", 2)], "id long, g string, _row long")
+    with pytest.raises(ValueError):
+        grouped_reservoir(clash, ["g"], "id", 1)
