@@ -1525,6 +1525,27 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DENSE_BUCKET_S = 900
+
+
+def q_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-type event-rate series
+    (operators/sequence.dense_counts): one row per (event_type,
+    15-minute bucket) across each type's active span, with zero counts
+    for silent buckets — the resample a rate dashboard or anomaly
+    baseline needs (a bare groupBy never emits the gaps). The dense
+    grid is generated from per-key spans (one row per key), never from
+    raw events."""
+    from fluent_plugin_record_reformer_spark.operators.sequence import (
+        dense_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return dense_counts(
+        ev, ["event_type"], "ts", bucket_seconds=DENSE_BUCKET_S
+    )
+
+
 RESERVOIR_K, RESERVOIR_SEED = 2, 11
 
 
@@ -1729,6 +1750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_sketch": q_quantile_sketch,
     "stratified_sample": q_stratified_sample,
     "reservoir_sample": q_reservoir_sample,
+    "dense_series": q_dense_series,
     "inverted_index": q_inverted_index,
     "skew_join": q_skew_join,
     "doc_chunks": q_doc_chunks,
@@ -2688,6 +2710,22 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(sum(event_id) AS BIGINT) AS sum_ids
     FROM kept GROUP BY 1
+    """,
+    "dense_series": f"""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / {DENSE_BUCKET_S * 1_000_000}) AS BIGINT) AS bkt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(bkt) AS lo, max(bkt) AS hi FROM counts GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi)) AS bkt FROM spans
+    )
+    SELECT g.event_type,
+           make_timestamp(g.bkt * {DENSE_BUCKET_S * 1_000_000}) AS bucket_start,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN counts c USING (event_type, bkt)
     """,
     "reservoir_sample": reservoir_oracle_sql(
         ["source", "doc_id", "lang", "n_chars"],

@@ -81,3 +81,79 @@ def transition_matrix(
         F.count(F.lit(1)).alias("n_transitions"),
         F.countDistinct(key_col).alias("n_keys"),
     )
+
+
+def dense_counts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    *,
+    bucket_seconds: int,
+    max_buckets_per_key: int | None = 100_000,
+    count_col: str = "n_events",
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Zero-filled per-key time series: one row per (key, time bucket)
+    for EVERY bucket between each key's first and last event, with
+    ``count_col`` = 0 where the key was silent — the gap-filling
+    resample behind rate dashboards, anomaly baselines, and
+    "series must be dense" downstream models (a groupBy alone emits
+    nothing for silent hours, so a naive consumer never sees the gap).
+
+    Scale shape: counts partial-aggregate per (key, bucket) FIRST, so
+    the explode that generates the dense grid runs over one row per
+    key (the per-key min/max span), never over raw events; the grid
+    left-joins back to the aggregated counts — both sides are already
+    small. Buckets are exact integer epoch-micros floors (no float, no
+    timezone arithmetic; the session is UTC-pinned either way).
+
+    ``max_buckets_per_key`` fail-fast guards the grid fan-out in-plan
+    (a key spanning years at 1s buckets is an upstream bug, not
+    something to silently explode — same discipline as
+    ``bucketed_range_join``); ``None`` disables.
+    """
+    clash = {"_bkt", "_lo", "_hi"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"dense_counts working columns clash with input: {sorted(clash)}"
+        )
+    keys = list(key_cols)
+    b = int(bucket_seconds) * 1_000_000
+    bkt = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(b)
+    ).cast("long")
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*keys, bkt.alias("_bkt"))
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+    spans = counts.groupBy(*keys).agg(
+        F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
+    )
+    lo = F.col("_lo")
+    if max_buckets_per_key is not None:
+        span = F.col("_hi") - F.col("_lo") + F.lit(1)
+        guard = F.assert_true(
+            span <= F.lit(int(max_buckets_per_key)),
+            F.concat(
+                F.lit(
+                    f"dense_counts: key spans more than "
+                    f"{max_buckets_per_key} buckets of {bucket_seconds}s "
+                    f"(raise bucket_seconds or max_buckets_per_key); span="
+                ),
+                span.cast("string"),
+            ),
+        )
+        # guard on the LEFT of the add (binary ops null-short-circuit
+        # on a NULL left operand; _lo is non-null here, but the
+        # convention is uniform across all in-plan guards)
+        lo = F.coalesce(guard.cast("long"), F.lit(0)) + lo
+    grid = spans.select(
+        *keys, F.explode(F.sequence(lo, F.col("_hi"))).alias("_bkt")
+    )
+    dense = grid.join(counts, keys + ["_bkt"], "left")
+    return dense.select(
+        *keys,
+        F.timestamp_micros(F.col("_bkt") * F.lit(b)).alias(bucket_col),
+        F.coalesce(F.col(count_col), F.lit(0)).alias(count_col),
+    )

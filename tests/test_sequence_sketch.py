@@ -243,3 +243,61 @@ def test_grouped_reservoir_validation(spark):
     clash = spark.createDataFrame([(1, "a", 2)], "id long, g string, _row long")
     with pytest.raises(ValueError):
         grouped_reservoir(clash, ["g"], "id", 1)
+
+
+def test_dense_counts_fills_gaps_with_zeros(spark):
+    from fluent_plugin_record_reformer_spark.operators.sequence import (
+        dense_counts,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:05:00"),
+        ("a", "2024-01-01 00:07:00"),
+        ("a", "2024-01-01 03:30:00"),  # hours 1 and 2 are silent
+        ("b", "2024-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = dense_counts(df, ["k"], "ts", bucket_seconds=3600, count_col="n")
+    got = {
+        (r["k"], str(r["bucket_start"])): r["n"] for r in out.collect()
+    }
+    assert got[("a", "2024-01-01 00:00:00")] == 2
+    assert got[("a", "2024-01-01 01:00:00")] == 0
+    assert got[("a", "2024-01-01 02:00:00")] == 0
+    assert got[("a", "2024-01-01 03:00:00")] == 1
+    assert got[("b", "2024-01-01 01:00:00")] == 1
+    assert len(got) == 5  # a: 4 buckets, b: 1 bucket — no cross-key grid
+
+
+def test_dense_counts_span_guard_fires(spark):
+    from fluent_plugin_record_reformer_spark.operators.sequence import (
+        dense_counts,
+    )
+
+    rows = [("a", "2024-01-01 00:00:00"), ("a", "2024-06-01 00:00:00")]
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = dense_counts(
+        df, ["k"], "ts", bucket_seconds=60, max_buckets_per_key=1000
+    )
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "dense_counts" in str(ei.value)
+    # disabling the guard lets the same span through
+    ok = dense_counts(
+        df, ["k"], "ts", bucket_seconds=60, max_buckets_per_key=None
+    )
+    assert ok.count() > 200000
+
+
+def test_dense_counts_clash_validation(spark):
+    from fluent_plugin_record_reformer_spark.operators.sequence import (
+        dense_counts,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "k string, _bkt long")
+    with pytest.raises(ValueError):
+        dense_counts(df, ["k"], "_bkt", bucket_seconds=60)
