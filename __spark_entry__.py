@@ -497,6 +497,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_JACCARD_PCT = 50
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-threshold Jaccard similarity join
+    (operators/dedup.prefix_jaccard_pairs, the AllPairs/PPJoin prefix
+    filter): every pair with distinct-shingle Jaccard >= 0.5, no false
+    negatives — docs only meet in buckets keyed by their rarest-first
+    prefix tokens. Because the candidate scheme is exact, the oracle
+    is the NAIVE all-pairs Jaccard over the same sets: any missed or
+    extra pair hash-fails."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, threshold_pct=PREFIX_JACCARD_PCT
+    )
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language-ID heuristic vs the labeled lang col."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1735,6 +1756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "heavy_hitters": q_heavy_hitters,
     "ngram_jaccard": q_ngram_jaccard,
+    "prefix_jaccard": q_prefix_jaccard,
     "asof_tools": q_asof_tools,
     "range_join": q_range_join,
     "time_rollup": q_time_rollup,
@@ -2192,6 +2214,26 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
     WHERE round(len(list_intersect(a.sset, b.sset))::DOUBLE /
                 (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))),
                 4) >= 0.0
+    """,
+    # NAIVE all-pairs — the Spark side's prefix filter is an exact
+    # candidate scheme, so it must reproduce this bit-for-bit
+    "prefix_jaccard": f"""
+    WITH toks AS (
+      SELECT doc_id, {om.sql_word_tokens("text")} AS t FROM documents
+    ), shing AS (
+      SELECT doc_id, {om.sql_shingles("t", SHINGLE_N)} AS s FROM toks
+    ), sets AS (
+      SELECT doc_id, list_distinct({om.sql_hash60_list("s")}) AS sset
+      FROM shing
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter_size,
+             CAST(len(a.sset) + len(b.sset)
+                  - len(list_intersect(a.sset, b.sset)) AS BIGINT) AS union_size
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, inter_size, union_size FROM pairs
+    WHERE 100 * inter_size >= {PREFIX_JACCARD_PCT} * union_size
     """,
     "heavy_hitters": """
     WITH toks AS (

@@ -380,6 +380,108 @@ def fingerprint_near_dup(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold_pct: int,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT-threshold Jaccard similarity join via prefix filtering
+    (the AllPairs / PPJoin candidate scheme — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08): every pair with distinct-shingle Jaccard >=
+    ``threshold_pct``/100 is found, with NO false negatives — unlike
+    MinHash banding (probabilistic recall) or winnow blocking
+    (recall ~ jaccard). The exactness makes the oracle the clean
+    math: a naive all-pairs Jaccard over the same sets.
+
+    How it stays sub-quadratic: tokens get a global rarest-first
+    order (document frequency asc, hash asc). For a pair with
+    J >= t the overlap is >= ceil(t*|s|) for each side, so the
+    EARLIEST common token must fall inside each side's first
+    ``|s| - ceil(t*|s|) + 1`` tokens (else too few common tokens
+    remain — the prefix-filtering principle). Docs therefore only
+    meet in buckets keyed by their PREFIX tokens, which are by
+    construction the rarest — candidate volume collapses versus
+    bucketing on all tokens, and grows the shorter the prefixes
+    (higher t) are.
+
+    Pipeline (one explode, carried sets, join-free verification):
+    distinct (doc, token-hash) -> global doc-frequency join ->
+    per-doc rarest-first sorted token array (its prefix AND the
+    carried set in one struct) -> prefix explode -> per-token
+    bucket pair-gen (``_bucket_pairs``) -> exact integer Jaccard
+    ``100*|inter| >= pct*|union|`` -> distinct (a pair sharing k
+    prefix tokens appears k times with identical values).
+
+    ``threshold_pct`` is an INTEGER percent so the boundary is exact
+    integer arithmetic cross-engine (no float >= drift).
+    ``max_bucket`` (default None) caps flood buckets — setting it
+    trades away the no-false-negative guarantee and is only for
+    corpora with degenerate shared-prefix floods; prefer raising
+    ``threshold_pct`` first (shorter prefixes).
+    """
+    if not 1 <= int(threshold_pct) <= 100:
+        raise ValueError(f"threshold_pct must be in [1, 100]: {threshold_pct}")
+    pct = int(threshold_pct)
+    ex = _exploded_shingles(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    )
+    dis = ex.select(F.col(id_col), _hash60(F.col("_s")).alias("_h")).distinct()
+    freq = dis.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = dis.join(freq, "_h").groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_df"), F.col("_h")))
+        ).alias("_ord")
+    )
+    size = F.size("_ord").cast("long")
+    # ceil(pct*size/100) in exact integers; prefix >= 1 always
+    alpha = ((F.lit(pct) * size + F.lit(99)) / F.lit(100)).cast("long")
+    plen = (size - alpha + F.lit(1)).cast("int")
+    pref = ordered.select(
+        F.col(id_col),
+        F.transform("_ord", lambda x: x["_h"]).alias("_sset"),
+        F.explode(
+            F.transform(
+                F.slice("_ord", F.lit(1), plen), lambda x: x["_h"]
+            )
+        ).alias("_pt"),
+    )
+    members = pref.groupBy("_pt").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("_sset").alias("s"))
+            )
+        ).alias("_ms")
+    )
+    if max_bucket is not None:
+        members = members.filter(F.size("_ms") <= max_bucket)
+    pairs = (
+        members.filter(F.size("_ms") > 1)
+        .select(F.explode(_bucket_pairs("_ms")).alias("p"))
+        .select(
+            F.col("p.a.i").alias("id_a"),
+            F.col("p.b.i").alias("id_b"),
+            F.col("p.a.s").alias("_sa"),
+            F.col("p.b.s").alias("_sb"),
+        )
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    union = (F.size("_sa") + F.size("_sb")).cast("long") - inter
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .filter(F.lit(100) * F.col("inter_size") >= F.lit(pct) * F.col("union_size"))
+        .distinct()
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     *,

@@ -277,3 +277,59 @@ def test_dup_clusters_reliable_checkpoint_dir(spark, tmp_path):
     import os
 
     assert any(os.scandir(ckdir)), "no reliable checkpoint files written"
+
+
+def test_prefix_jaccard_equals_naive_all_pairs(spark):
+    from pyspark.sql import functions as F
+    from fluent_plugin_record_reformer_spark.operators.dedup import (
+        _exploded_shingles,
+        _hash60,
+        prefix_jaccard_pairs,
+    )
+
+    # deterministic corpus with heavy vocab overlap so pairs straddle
+    # the threshold boundary from both sides
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(40):
+        toks = [words[(i * 3 + j * (1 + i % 4)) % len(words)] for j in range(6 + i % 5)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = prefix_jaccard_pairs(docs, shingle_n=2, threshold_pct=40)
+
+    sets = (
+        _exploded_shingles(docs, text_col="text", id_col="doc_id", shingle_n=2)
+        .select("doc_id", _hash60(F.col("_s")).alias("_h"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("_h").alias("s"))
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    union = (F.size("sa") + F.size("sb")).cast("long") - inter
+    naive = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            inter.alias("inter_size"), union.alias("union_size"),
+        )
+        .filter(F.lit(100) * F.col("inter_size") >= F.lit(40) * F.col("union_size"))
+    )
+    gs = sorted(tuple(r) for r in got.collect())
+    ns = sorted(tuple(r) for r in naive.collect())
+    assert gs == ns and len(ns) > 3  # exact: no false negatives, none extra
+
+
+def test_prefix_jaccard_validation(spark):
+    from fluent_plugin_record_reformer_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, 101):
+        with pytest.raises(ValueError):
+            prefix_jaccard_pairs(docs, threshold_pct=bad)
