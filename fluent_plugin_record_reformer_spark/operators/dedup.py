@@ -468,6 +468,15 @@ def prefix_jaccard_pairs(
             F.col("p.b.s").alias("_sb"),
         )
     )
+    # PPJoin LENGTH filter before the expensive intersect: J >= t
+    # forces min(|a|,|b|) >= t*max(|a|,|b|) (since |inter| <= min and
+    # |union| >= max) — a two-int predicate that discards mismatched-
+    # size candidates without touching the carried sets. Exactness is
+    # untouched: the condition is implied by the final threshold.
+    sz_a, sz_b = F.size("_sa").cast("long"), F.size("_sb").cast("long")
+    pairs = pairs.filter(
+        F.lit(100) * F.least(sz_a, sz_b) >= F.lit(pct) * F.greatest(sz_a, sz_b)
+    )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
     union = (F.size("_sa") + F.size("_sb")).cast("long") - inter
     return (
