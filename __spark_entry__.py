@@ -48,6 +48,9 @@ from fluent_plugin_record_reformer_spark.operators.enrich import (
     tool_dim,
 )
 from fluent_plugin_record_reformer_spark.operators.parse import grok_parse, regex_parse
+from fluent_plugin_record_reformer_spark.operators.templates import (
+    sql_template_expr,
+)
 from fluent_plugin_record_reformer_spark.operators.route import Route, RouteTable
 from fluent_plugin_record_reformer_spark.operators.sketch import (
     bottomk_quantile_sketch,
@@ -1702,6 +1705,43 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(F.col("node").alias("term"), "rank")
 
 
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style log-template mining (operators/templates): mask
+    variable tokens (UUID/IP/hex/number) with a codegen'd
+    regexp_replace chain, then hash-aggregate per template — the "5
+    shapes, one spiking" view of a 10^12-line firehose. No UDF, no
+    window; the shuffle carries one row per (partition, template)."""
+    from fluent_plugin_record_reformer_spark.operators.templates import (
+        mine_templates,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    return mine_templates(t, text_col="text", key_col="conv_id")
+
+
+PIVOT_TOOL_SLOTS = ["auth", "checkout", "none"]
+
+
+def q_role_tool_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab of routed traffic: role x tool usage matrix via
+    ``groupBy(role).pivot(tool)`` with the value list PINNED — an
+    unpinned pivot runs an extra distinct-collection job over the full
+    table just to learn the columns (a scan a 100 TB table cannot
+    afford). Empty cells stay null (no traffic observed), mirrored by
+    NULLIF(count,0) on the oracle side."""
+    t = _tagged(spark, sf_dir)
+    wide = (
+        t.withColumn("tool_slot", F.coalesce(F.col("tool"), F.lit("none")))
+        .groupBy("role")
+        .pivot("tool_slot", PIVOT_TOOL_SLOTS)
+        .count()
+    )
+    return wide.select(
+        "role",
+        *[F.col(s).alias(f"n_{s}") for s in PIVOT_TOOL_SLOTS],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1777,6 +1817,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join": q_skew_join,
     "doc_chunks": q_doc_chunks,
     "textrank": q_textrank,
+    "log_templates": q_log_templates,
+    "role_tool_matrix": q_role_tool_matrix,
 }
 
 
@@ -2882,6 +2924,28 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
         TEXTRANK_SCALE,
         TEXTRANK_ITERS,
     ),
+    # DuckDB regexp_replace needs the 'g' flag to match Spark's
+    # replace-all default — sql_template_expr pins it.
+    "log_templates": f"""
+    {TRANSCRIPTS_CTE}
+    SELECT {sql_template_expr("text")} AS template,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_keys
+    FROM transcripts GROUP BY 1
+    """,
+    # Spark's pinned pivot leaves an empty cell null; NULLIF(count,0)
+    # reproduces that (a present cell's count is always >= 1).
+    "role_tool_matrix": f"""
+    {TRANSCRIPTS_CTE}
+    SELECT role,
+           NULLIF(CAST(count(CASE WHEN coalesce(tool, 'none') = 'auth'
+                       THEN 1 END) AS BIGINT), 0) AS n_auth,
+           NULLIF(CAST(count(CASE WHEN coalesce(tool, 'none') = 'checkout'
+                       THEN 1 END) AS BIGINT), 0) AS n_checkout,
+           NULLIF(CAST(count(CASE WHEN coalesce(tool, 'none') = 'none'
+                       THEN 1 END) AS BIGINT), 0) AS n_none
+    FROM transcripts GROUP BY 1
+    """,
 }
 
 
