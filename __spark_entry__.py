@@ -1742,6 +1742,60 @@ def q_role_tool_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CIDR-style blocks over the 32-bit IP space — shared verbatim between
+# the Spark values_dim and the oracle's VALUES CTE. Deliberately
+# non-covering (convs outside any block drop out of the inner join on
+# BOTH engines) and of very different spans (1 to 32 buckets of 2^24).
+IP_SEED = 17
+IP_BUCKET = 1 << 24
+IP_RANGES = [
+    ("dc-west", 0x0A000000, 0x0AFFFFFF),
+    ("office", 0x2A000000, 0x2A00FFFF),
+    ("region-a", 0x40000000, 0x5FFFFFFF),
+    ("region-b", 0x80000000, 0x9FFFFFFF),
+    ("cdn-edge", 0xC0000000, 0xC3FFFFFF),
+]
+
+
+def q_ip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style CIDR-block enrichment: each conversation gets a
+    deterministic 32-bit source address (seeded hash of conv_id), then
+    range-joins against an IP-block dictionary via
+    operators/joins.bucketed_range_join_long — a bucket-EQUALITY join
+    (broadcastable, AQE-friendly) instead of the
+    BroadcastNestedLoopJoin a raw BETWEEN lookup would plan. The
+    oracle runs the plain BETWEEN join the buckets must reproduce."""
+    from fluent_plugin_record_reformer_spark.functions.hashing import (
+        seeded_hash60,
+    )
+    from fluent_plugin_record_reformer_spark.operators.enrich import values_dim
+    from fluent_plugin_record_reformer_spark.operators.joins import (
+        bucketed_range_join_long,
+    )
+
+    t = _transcripts(spark, sf_dir).withColumn(
+        "src_ip", F.pmod(seeded_hash60(F.col("conv_id"), IP_SEED), F.lit(1 << 32))
+    )
+    dim = values_dim(
+        spark,
+        [(lbl, lo, hi) for lbl, lo, hi in IP_RANGES],
+        "net_label string, ip_lo long, ip_hi long",
+    )
+    j = bucketed_range_join_long(
+        t,
+        dim,
+        value_col="src_ip",
+        lo_col="ip_lo",
+        hi_col="ip_hi",
+        bucket_size=IP_BUCKET,
+        max_span_buckets=64,
+    )
+    return j.groupBy("net_label").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_distinct(F.col("conv_id")).alias("n_convs"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1819,6 +1873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textrank": q_textrank,
     "log_templates": q_log_templates,
     "role_tool_matrix": q_role_tool_matrix,
+    "ip_enrich": q_ip_enrich,
 }
 
 
@@ -2945,6 +3000,21 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            NULLIF(CAST(count(CASE WHEN coalesce(tool, 'none') = 'none'
                        THEN 1 END) AS BIGINT), 0) AS n_none
     FROM transcripts GROUP BY 1
+    """,
+    "ip_enrich": f"""
+    {TRANSCRIPTS_CTE}
+    , ips AS (
+      SELECT conv_id,
+             {om.sql_seeded_hash60("conv_id", IP_SEED)} % 4294967296 AS src_ip
+      FROM transcripts
+    ), ranges(net_label, ip_lo, ip_hi) AS (
+      VALUES {", ".join(f"('{l}', {lo}, {hi})" for l, lo, hi in IP_RANGES)}
+    )
+    SELECT net_label,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+    FROM ips JOIN ranges ON src_ip BETWEEN ip_lo AND ip_hi
+    GROUP BY 1
     """,
 }
 

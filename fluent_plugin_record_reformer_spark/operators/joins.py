@@ -130,6 +130,76 @@ def bucketed_range_join(
     return joined.drop("_bkt")
 
 
+def bucketed_range_join_long(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_size: int,
+    max_span_buckets: int | None = 4096,
+) -> DataFrame:
+    """:func:`bucketed_range_join` over plain integers instead of
+    timestamps: inner-join each fact to every interval row with
+    ``lo <= value <= hi`` (inclusive), as a bucket-equality hash join
+    plus the exact BETWEEN residual.
+
+    The canonical use is CIDR / numeric-range dictionary lookup (GeoIP
+    blocks, ID allocation ranges, shard maps): the interval table
+    explodes each range across its covered ``value // bucket_size``
+    buckets once, each fact computes a single bucket id, and the join
+    is a plain equality join Catalyst can broadcast — never the
+    BroadcastNestedLoopJoin a raw BETWEEN join plans.
+
+    Same contracts as the timestamp variant: inverted intervals
+    (``hi < lo``) match nothing and are dropped up front (they would
+    otherwise explode through ``F.sequence``); a range spanning more
+    than ``max_span_buckets`` buckets fails fast in-plan; output is
+    all fact columns + all interval columns (alias collisions are the
+    caller's job); ``_bkt`` is reserved.
+    """
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1: {bucket_size}")
+    if "_bkt" in facts.columns or "_bkt" in intervals.columns:
+        raise ValueError(
+            "bucketed_range_join_long uses '_bkt' as its working column; "
+            "rename the existing '_bkt' column on the input before joining."
+        )
+    b = F.lit(int(bucket_size))
+    iv = intervals.filter(F.col(hi_col) >= F.col(lo_col))
+    # floor(x / b) over doubles is exact while |x| < 2^53 — the same
+    # envelope the timestamp variant's micros math already assumes
+    lo = F.floor(F.col(lo_col) / b).cast("long")
+    hi = F.floor(F.col(hi_col) / b).cast("long")
+    span = hi - lo + F.lit(1)
+    if max_span_buckets is not None:
+        guard = F.assert_true(
+            span <= F.lit(int(max_span_buckets)),
+            F.concat(
+                F.lit(
+                    f"bucketed_range_join_long: interval spans more than "
+                    f"{max_span_buckets} buckets of {bucket_size} "
+                    f"(raise bucket_size or max_span_buckets); span="
+                ),
+                span.cast("string"),
+            ),
+        )
+        # keep the guard on the LEFT of the tying add: BinaryExpression
+        # short-circuits a NULL left operand without evaluating the
+        # right, which would skip the assert exactly on bad rows
+        lo = F.coalesce(guard.cast("long"), F.lit(0)) + lo
+    iv = iv.withColumn("_bkt", F.explode(F.sequence(lo, hi)))
+    fb = facts.withColumn(
+        "_bkt", F.floor(F.col(value_col) / b).cast("long")
+    )
+    joined = fb.join(iv, "_bkt").filter(
+        (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) <= F.col(hi_col))
+    )
+    return joined.drop("_bkt")
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,

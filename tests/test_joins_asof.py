@@ -299,3 +299,85 @@ def test_bucketed_range_join_inverted_interval_is_dropped(spark):
     ).collect()
     assert {r["name"] for r in bucket_rows} == {"ok"}
     assert len(bucket_rows) == 49  # Jan 4 00:00 - Jan 6 00:00 inclusive
+
+
+# ---------------------------------------------------------------------------
+# bucketed_range_join_long (numeric / CIDR variant)
+# ---------------------------------------------------------------------------
+
+from fluent_plugin_record_reformer_spark.operators.joins import (  # noqa: E402
+    bucketed_range_join_long,
+)
+
+
+def _long_frames(spark):
+    facts = spark.range(0, 400).select(
+        F.col("id").alias("fid"),
+        # spread values over [0, 4000) with a deterministic stride
+        (F.pmod(F.col("id") * F.lit(37), F.lit(4000))).alias("v"),
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 99),          # small block
+            (2, 100, 100),       # zero-length, inclusive both ends
+            (3, 950, 2049),      # spans many buckets
+            (4, 3900, 4100),     # extends past the value domain
+            (5, 500, 400),       # inverted: matches nothing
+        ],
+        "rid int, lo long, hi long",
+    )
+    return facts, iv
+
+
+@pytest.mark.parametrize("bucket", [1, 64, 1000])
+def test_range_join_long_equals_naive(spark, bucket):
+    facts, iv = _long_frames(spark)
+    want = sorted(
+        (r["fid"], r["rid"])
+        for r in facts.join(
+            iv, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    )
+    got = sorted(
+        (r["fid"], r["rid"])
+        for r in bucketed_range_join_long(
+            facts,
+            iv,
+            value_col="v",
+            lo_col="lo",
+            hi_col="hi",
+            bucket_size=bucket,
+            max_span_buckets=4096,
+        ).collect()
+    )
+    assert got == want
+    assert want, "fixture must actually produce matches"
+    assert not any(r == 5 for _, r in got), "inverted interval must drop"
+
+
+def test_range_join_long_span_guard_fires(spark):
+    facts, iv = _long_frames(spark)
+    guarded = bucketed_range_join_long(
+        facts,
+        iv,
+        value_col="v",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_size=10,  # interval 3 spans ~110 ten-buckets
+        max_span_buckets=50,
+    )
+    with pytest.raises(Exception, match="spans more than 50 buckets"):
+        guarded.count()
+
+
+def test_range_join_long_rejects_bkt_column(spark):
+    facts, iv = _long_frames(spark)
+    with pytest.raises(ValueError, match="_bkt"):
+        bucketed_range_join_long(
+            facts.withColumnRenamed("v", "_bkt"),
+            iv,
+            value_col="_bkt",
+            lo_col="lo",
+            hi_col="hi",
+            bucket_size=10,
+        )
