@@ -1796,6 +1796,24 @@ def q_ip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDIT1_SLUG_LEN = 12
+
+
+def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup join: EXACT edit-distance<=1 pairs among
+    document slugs (leading chars) via symmetric-deletion blocking
+    (operators/dedup.edit1_pairs) — zero recall loss, no all-pairs
+    join. The oracle IS the naive all-pairs levenshtein join over the
+    distinct slugs, so exactness has nothing to hide behind."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import edit1_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    slugs = docs.select(
+        F.substring(F.col("text"), 1, EDIT1_SLUG_LEN).alias("slug")
+    )
+    return edit1_pairs(slugs, str_col="slug", out_a="slug_a", out_b="slug_b")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1874,6 +1892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_templates": q_log_templates,
     "role_tool_matrix": q_role_tool_matrix,
     "ip_enrich": q_ip_enrich,
+    "edit_near_dup": q_edit_near_dup,
 }
 
 
@@ -3015,6 +3034,21 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
     FROM ips JOIN ranges ON src_ip BETWEEN ip_lo AND ip_hi
     GROUP BY 1
+    """,
+    # the oracle is the NAIVE all-pairs levenshtein join (with only a
+    # length prefilter); the Spark side's deletion-neighborhood
+    # blocking must reproduce it exactly — zero recall loss by proof
+    "edit_near_dup": f"""
+    WITH s AS (
+      SELECT DISTINCT substr(text, 1, {EDIT1_SLUG_LEN}) AS slug
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.slug AS slug_a, b.slug AS slug_b,
+           CAST(levenshtein(a.slug, b.slug) AS INT) AS dist
+    FROM s a JOIN s b
+      ON a.slug < b.slug
+     AND abs(length(a.slug) - length(b.slug)) <= 1
+     AND levenshtein(a.slug, b.slug) <= 1
     """,
 }
 

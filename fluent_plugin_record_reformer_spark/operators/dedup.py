@@ -491,6 +491,70 @@ def prefix_jaccard_pairs(
     )
 
 
+def edit1_pairs(
+    df: DataFrame,
+    *,
+    str_col: str,
+    max_bucket: int | None = None,
+    out_a: str = "str_a",
+    out_b: str = "str_b",
+) -> DataFrame:
+    """EXACT edit-distance <= 1 pairs over a column of SHORT strings
+    (titles, slugs, hostnames, tool names — the typo-dedup problem),
+    without the all-pairs join.
+
+    Symmetric-deletion blocking (the SymSpell construction, public):
+    for each distinct string emit its deletion neighborhood
+    ``D(s) = {{s}} ∪ {{s minus char i}}``; two strings within edit
+    distance 1 ALWAYS share a neighborhood element — a substitution at
+    position i means deleting i from both yields the same string, and
+    an insertion/deletion means the longer string minus the edited
+    char IS the shorter string. So grouping by neighborhood element
+    yields a candidate superset with zero recall loss, and the exact
+    ``levenshtein`` residual (JVM builtin, short strings) makes the
+    result precisely ``{{(a, b) : a < b, ed(a, b) <= 1}}``.
+
+    Scale shape: the explode emits ``len+1`` rows per distinct string
+    (short by contract — bound it upstream), all codegen'd substring
+    arithmetic; buckets are collect_set'd per variant (tiny — a
+    variant is shared only by near-identical strings; ``max_bucket``
+    caps pathological floods the way lsh_candidate_pairs does);
+    pair-gen reuses the sorted-members transform, NEVER a self-join.
+    """
+    s = df.select(F.col(str_col).alias("_s")).filter(
+        F.col("_s").isNotNull()
+    ).distinct()
+    i = F.explode(F.sequence(F.lit(0), F.length("_s")))
+    variants = s.select(F.col("_s"), i.alias("_i")).select(
+        "_s",
+        F.when(F.col("_i") == 0, F.col("_s"))
+        .otherwise(
+            F.concat(
+                F.substring(F.col("_s"), F.lit(1), F.col("_i") - 1),
+                F.substring(
+                    F.col("_s"), F.col("_i") + 1, F.length("_s")
+                ),
+            )
+        )
+        .alias("_v"),
+    )
+    members = variants.groupBy("_v").agg(
+        F.sort_array(F.collect_set("_s")).alias("_ids")
+    )
+    if max_bucket is not None:
+        members = members.filter(F.size("_ids") <= max_bucket)
+    return (
+        members.filter(F.size("_ids") > 1)
+        .select(F.explode(_bucket_pairs("_ids")).alias("p"))
+        .select(F.col("p.a").alias(out_a), F.col("p.b").alias(out_b))
+        .distinct()
+        .filter(F.levenshtein(F.col(out_a), F.col(out_b)) <= 1)
+        .withColumn(
+            "dist", F.levenshtein(F.col(out_a), F.col(out_b)).cast("int")
+        )
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     *,

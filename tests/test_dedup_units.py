@@ -333,3 +333,70 @@ def test_prefix_jaccard_validation(spark):
     for bad in (0, 101):
         with pytest.raises(ValueError):
             prefix_jaccard_pairs(docs, threshold_pct=bad)
+
+
+# ---------------------------------------------------------------------------
+# edit1_pairs: symmetric-deletion exact edit-distance-1 join
+# ---------------------------------------------------------------------------
+
+from fluent_plugin_record_reformer_spark.operators.dedup import (  # noqa: E402
+    edit1_pairs,
+)
+
+
+def test_edit1_pairs_equals_naive(spark):
+    words = [
+        "kitten", "sitten",        # substitution
+        "cat", "cats",             # insertion at end
+        "cat", "at",               # deletion at front
+        "flaw", "flaws", "claw",   # chain: multiple partners
+        "hello", "hxllo", "hell",
+        "aa", "a",                 # duplicate-variant collapse (aa->a twice)
+        "totally-unrelated-string",
+        "", "x",                   # empty string: ed("", "x") == 1
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = sorted(
+        (r["str_a"], r["str_b"], r["dist"])
+        for r in edit1_pairs(df, str_col="s").collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    uniq = sorted(set(words))
+    want = sorted(
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(uniq, 2)
+        if lev(a, b) <= 1
+    )
+    assert got == want
+    assert ("a", "aa", 1) in got
+    assert ("", "x", 1) in got
+
+
+def test_edit1_pairs_max_bucket_caps_flood(spark):
+    # ten strings all one deletion away from "x" share bucket "" → cap
+    words = [f"{c}" for c in "abcdefghij"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    assert edit1_pairs(df, str_col="s").count() == 45
+    assert edit1_pairs(df, str_col="s", max_bucket=5).count() == 0
+
+
+def test_edit1_pairs_no_python_in_plan(spark):
+    df = spark.createDataFrame([("ab",), ("ac",)], "s string")
+    plan = (
+        edit1_pairs(df, str_col="s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
