@@ -48,6 +48,7 @@ from fluent_plugin_record_reformer_spark.operators.enrich import (
     tool_dim,
 )
 from fluent_plugin_record_reformer_spark.operators.parse import grok_parse, regex_parse
+from fluent_plugin_record_reformer_spark.operators.layout import sql_zvalue
 from fluent_plugin_record_reformer_spark.operators.templates import (
     sql_template_expr,
 )
@@ -1814,6 +1815,31 @@ def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit1_pairs(slugs, str_col="slug", out_a="slug_a", out_b="slug_b")
 
 
+ZORDER_BITS = 8
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (operators/layout.zvalue):
+    interleave user-bucket and hour-of-day bits so a write laid out by
+    this key prunes parquet files on BOTH dimensions (the layout/
+    pruning proof lives in tests/test_layout.py against real file
+    stats). The query certifies the bit math cross-engine: per-z-cell
+    event counts, pure codegen'd integer ops on each side."""
+    from fluent_plugin_record_reformer_spark.operators.layout import zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    z = zvalue(
+        F.pmod(F.col("user_id"), F.lit(256)),
+        F.hour(F.col("ts")),
+        bits=ZORDER_BITS,
+    )
+    return (
+        ev.select(z.alias("z_cell"))
+        .groupBy("z_cell")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1893,6 +1919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "role_tool_matrix": q_role_tool_matrix,
     "ip_enrich": q_ip_enrich,
     "edit_near_dup": q_edit_near_dup,
+    "zorder_cells": q_zorder_cells,
 }
 
 
@@ -3049,6 +3076,11 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
       ON a.slug < b.slug
      AND abs(length(a.slug) - length(b.slug)) <= 1
      AND levenshtein(a.slug, b.slug) <= 1
+    """,
+    "zorder_cells": f"""
+    SELECT {sql_zvalue("user_id % 256", "hour(ts)", bits=ZORDER_BITS)} AS z_cell,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
     """,
 }
 
