@@ -1840,6 +1840,70 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_ROWS = 3
+# money → exact integer cents before any aggregation: floor(x*100+0.5)
+# over a double is the same IEEE arithmetic on both engines, and the
+# BIGINT sums after it are bit-stable under any partitioning
+CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+def q_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-3-event spend (operators/sequence.rolling_sum):
+    the SQL ROWS frame over an exact-integer cents column — one
+    shuffle by user, external (spillable) per-partition sort, O(frame)
+    memory. The oracle runs the identical window frame."""
+    from fluent_plugin_record_reformer_spark.operators.sequence import (
+        rolling_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.expr(CENTS).alias("cents")
+    )
+    return rolling_sum(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="cents",
+        window_rows=ROLLING_ROWS,
+        out_col="roll3_cents",
+    )
+
+
+INCR_CUTOFF = "2024-02-01 00:00:00"
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-merge aggregation (operators/aggregate.merge_summaries):
+    the stored pre-cutoff state merged with the post-cutoff delta must
+    EQUAL the full-history aggregate — which is precisely what the
+    oracle computes (one pass over everything). Count/sum sum-merge,
+    min/max min/max-merge; nothing rescans the 'historical' side."""
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        merge_summaries,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def summarize(part: DataFrame) -> DataFrame:
+        return part.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(CENTS)).alias("sum_cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    state = summarize(ev.filter(F.col("ts") < cut))
+    delta = summarize(ev.filter(F.col("ts") >= cut))
+    return merge_summaries(
+        [state, delta],
+        keys=["event_type"],
+        sum_cols=["n_events", "sum_cents"],
+        min_cols=["first_ts"],
+        max_cols=["last_ts"],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1920,6 +1984,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ip_enrich": q_ip_enrich,
     "edit_near_dup": q_edit_near_dup,
     "zorder_cells": q_zorder_cells,
+    "rolling_spend": q_rolling_spend,
+    "incremental_agg": q_incremental_agg,
 }
 
 
@@ -3080,6 +3146,24 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
     "zorder_cells": f"""
     SELECT {sql_zvalue("user_id % 256", "hour(ts)", bits=ZORDER_BITS)} AS z_cell,
            CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    "rolling_spend": f"""
+    SELECT event_id, user_id, ts, {CENTS} AS cents,
+           CAST(sum({CENTS}) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLING_ROWS - 1} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS roll3_cents
+    FROM events
+    """,
+    # the oracle aggregates the FULL history in one pass — the merged
+    # state+delta summaries must reproduce it exactly
+    "incremental_agg": f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({CENTS}) AS BIGINT) AS sum_cents,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
     FROM events GROUP BY 1
     """,
 }

@@ -317,3 +317,54 @@ def funnel_stages(
     return all_stages.join(F.broadcast(counts), "stage", "left").select(
         "stage", F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users")
     )
+
+
+def merge_summaries(
+    frames: Sequence[DataFrame],
+    *,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge mergeable per-key summaries — the checkpoint-resume /
+    incremental-recompute primitive: yesterday's stored aggregate plus
+    today's delta aggregate IS the full-history aggregate, without
+    rescanning history.
+
+    Every input frame carries the same columns: ``keys`` plus counter
+    columns, where each counter is a MERGEABLE statistic (count/sum →
+    sum-merge, min → min-merge, max → max-merge; carry avg as its
+    (sum, count) pair, never as a ratio — a ratio is not mergeable).
+    Output has identical column names, so the merge composes: state
+    chains through arbitrarily many deltas, in any grouping, and the
+    result is associative and order-free. This is the batch mirror of
+    the engine's streaming-state discipline (bounded mergeable
+    summaries), and the algebra behind the north rule's "resumable
+    from checkpoint" contract: a rerun merges its partial output
+    instead of recomputing the world.
+
+    Scale shape: state frames are one row per key by construction, so
+    the union + final hash groupBy touches |keys| x |frames| rows —
+    partial aggregation collapses each side before the exchange, and
+    nothing rescans raw events.
+    """
+    if not frames:
+        raise ValueError("merge_summaries: need at least one frame")
+    cols = frames[0].columns
+    expected = set(keys) | set(sum_cols) | set(min_cols) | set(max_cols)
+    for f in frames:
+        if set(f.columns) != expected or len(f.columns) != len(cols):
+            raise ValueError(
+                f"merge_summaries: frames must share the summary schema "
+                f"{sorted(expected)}; got {f.columns}"
+            )
+    unioned = frames[0].select(*cols)
+    for f in frames[1:]:
+        unioned = unioned.unionByName(f.select(*cols))
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return unioned.groupBy(*keys).agg(*aggs)

@@ -157,3 +157,42 @@ def dense_counts(
         F.timestamp_micros(F.col("_bkt") * F.lit(b)).alias(bucket_col),
         F.coalesce(F.col(count_col), F.lit(0)).alias(count_col),
     )
+
+
+def rolling_sum(
+    df: DataFrame,
+    *,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int,
+    out_col: str = "rolling_sum",
+) -> DataFrame:
+    """Per-key trailing-window sum over the last ``window_rows`` events
+    (inclusive of the current one), in event order — the moving
+    aggregate behind burn-rate meters, trailing-spend counters, and
+    smoothed rate series.
+
+    Semantics are the SQL frame ``ROWS BETWEEN window_rows-1 PRECEDING
+    AND CURRENT ROW`` over ``PARTITION BY key ORDER BY order_cols`` —
+    which is exactly what the oracle runs. ``order_cols`` must be a
+    deterministic total order within a key (end with a unique id).
+
+    Scale shape: same contract as the rest of this module — ONE
+    shuffle by key, a per-partition EXTERNAL sort (spillable; a hot
+    key degrades to disk, not OOM), and a constant-size running frame:
+    Spark's window evaluator holds only the ``window_rows`` frame rows
+    per key, never the whole partition, so memory is O(window_rows).
+    Sum over an exact-integer ``value_col`` (cast money to cents
+    upstream) keeps the result bit-stable under any partitioning —
+    floats in a sliding frame would accumulate rounding differently
+    per split.
+    """
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1: {window_rows}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))

@@ -301,3 +301,110 @@ def test_dense_counts_clash_validation(spark):
     df = spark.createDataFrame([("a", 1)], "k string, _bkt long")
     with pytest.raises(ValueError):
         dense_counts(df, ["k"], "_bkt", bucket_seconds=60)
+
+
+# ---------------------------------------------------------------------------
+# rolling_sum / merge_summaries
+# ---------------------------------------------------------------------------
+
+from fluent_plugin_record_reformer_spark.operators.aggregate import (  # noqa: E402
+    merge_summaries,
+)
+from fluent_plugin_record_reformer_spark.operators.sequence import (  # noqa: E402
+    rolling_sum,
+)
+
+
+def test_rolling_sum_matches_naive(spark):
+    rows = [
+        # (key, order, value) with a duplicate order tie broken by id
+        ("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("a", 4, 40),
+        ("b", 1, 5), ("b", 2, 7),
+        ("c", 9, 100),
+    ]
+    df = spark.createDataFrame(
+        [(k, o, v, i) for i, (k, o, v) in enumerate(rows)],
+        "k string, o int, v long, id int",
+    )
+    got = {
+        (r["k"], r["o"]): r["roll"]
+        for r in rolling_sum(
+            df,
+            key_col="k",
+            order_cols=["o", "id"],
+            value_col="v",
+            window_rows=3,
+            out_col="roll",
+        ).collect()
+    }
+    per_key: dict = {}
+    for k, o, v in rows:
+        per_key.setdefault(k, []).append((o, v))
+    want = {}
+    for k, seq in per_key.items():
+        seq.sort()
+        for i, (o, _) in enumerate(seq):
+            want[(k, o)] = sum(v for _, v in seq[max(0, i - 2) : i + 1])
+    assert got == want
+
+
+def test_rolling_sum_rejects_bad_window(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "k string, o int, v int")
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_sum(
+            df, key_col="k", order_cols=["o"], value_col="v", window_rows=0
+        )
+
+
+def test_merge_summaries_split_invariance(spark):
+    """Any partition of the input into delta batches merges to the
+    SAME summary as one full-history aggregation — the associativity
+    that makes checkpoint-resume sound."""
+    ev = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 13 % 101).alias("v"),
+        F.col("id").alias("t"),
+    )
+
+    def summarize(part):
+        return part.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("t").alias("lo"),
+            F.max("t").alias("hi"),
+        )
+
+    full = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in summarize(ev).collect()}
+    # three uneven deltas, one of them empty for a key range
+    parts = [
+        ev.filter(F.col("id") < 100),
+        ev.filter((F.col("id") >= 100) & (F.col("id") < 101)),
+        ev.filter(F.col("id") >= 101),
+    ]
+    merged = merge_summaries(
+        [summarize(p) for p in parts],
+        keys=["k"],
+        sum_cols=["n", "s"],
+        min_cols=["lo"],
+        max_cols=["hi"],
+    )
+    got = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in merged.collect()}
+    assert got == full
+    # merge is re-mergeable: state ∘ delta ∘ delta == full as well
+    twice = merge_summaries(
+        [merged, summarize(ev.filter(F.lit(False)))],
+        keys=["k"],
+        sum_cols=["n", "s"],
+        min_cols=["lo"],
+        max_cols=["hi"],
+    )
+    assert {r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in twice.collect()} == full
+
+
+def test_merge_summaries_rejects_schema_drift(spark):
+    a = spark.range(3).groupBy().agg(F.count(F.lit(1)).alias("n"))
+    b = spark.range(3).groupBy().agg(F.count(F.lit(1)).alias("m"))
+    with pytest.raises(ValueError, match="summary schema"):
+        merge_summaries([a, b], keys=[], sum_cols=["n"])
