@@ -1904,6 +1904,29 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-conversations curve (operators/sequence.
+    interval_concurrency): sweep-line over conversation [first_turn,
+    last_turn + 1min) intervals — boundary deltas pre-aggregated per
+    instant, global cumulative sum via the order-monotone CHUNKED
+    prefix sum (no single-task window). Oracle: the same sweep as one
+    DuckDB window cumsum."""
+    from fluent_plugin_record_reformer_spark.operators.sequence import (
+        interval_concurrency,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    convs = t.groupBy("conv_id").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 1 MINUTE")).alias("e"),
+    )
+    iv = convs.withColumn("g", F.lit("all"))
+    out = interval_concurrency(
+        iv, group_col="g", start_col="s", end_col="e"
+    )
+    return out.select("ts", "concurrent")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -1986,6 +2009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_cells": q_zorder_cells,
     "rolling_spend": q_rolling_spend,
     "incremental_agg": q_incremental_agg,
+    "concurrency": q_concurrency,
 }
 
 
@@ -3165,6 +3189,23 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            min(ts) AS first_ts,
            max(ts) AS last_ts
     FROM events GROUP BY 1
+    """,
+    "concurrency": f"""
+    {TRANSCRIPTS_CTE}
+    , convs AS (
+      SELECT conv_id, min(ts) AS s,
+             max(ts) + INTERVAL 1 MINUTE AS e
+      FROM transcripts GROUP BY 1
+    ), deltas AS (
+      SELECT s AS t, 1 AS d FROM convs
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM convs
+    ), agg AS (
+      SELECT t, sum(d) AS net FROM deltas GROUP BY 1
+    )
+    SELECT t AS ts,
+           CAST(sum(net) OVER (ORDER BY t) AS BIGINT) AS concurrent
+    FROM agg
     """,
 }
 

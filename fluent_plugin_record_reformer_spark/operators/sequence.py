@@ -196,3 +196,61 @@ def rolling_sum(
         .rowsBetween(-(window_rows - 1), Window.currentRow)
     )
     return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    *,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+    out_col: str = "concurrent",
+) -> DataFrame:
+    """Sweep-line concurrency: for each group, how many intervals are
+    in flight after each boundary instant — the "concurrent sessions /
+    conversations / connections over time" curve behind capacity
+    planning and saturation alerts.
+
+    Half-open semantics ``[start, end)``: an interval ending exactly
+    when another starts never overlaps it. Output: one row per
+    (group, distinct boundary time) with the concurrency ON
+    ``[t, next boundary)``; the curve is piecewise constant between
+    boundaries and ends at 0 (every +1 meets its -1).
+
+    Scale shape — the classic sweep is a GLOBAL ordered cumulative
+    sum, the one thing a naive ``Window.orderBy`` serializes onto a
+    single task. Here: boundary deltas (+1 at start, -1 at end)
+    pre-aggregate per (group, instant) — making the order key unique
+    within each group — then flow through
+    ``curation.distributed_running_sum``, the order-monotone chunked
+    prefix sum (parallelism = chunks, offsets broadcast back). No
+    single-task window, no interval explodes, exact integer counts.
+    """
+    from fluent_plugin_record_reformer_spark.operators.curation import (
+        distributed_running_sum,
+    )
+
+    starts = intervals.select(
+        F.col(group_col), F.col(start_col).alias("_t"), F.lit(1).alias("_d")
+    )
+    ends = intervals.select(
+        F.col(group_col), F.col(end_col).alias("_t"), F.lit(-1).alias("_d")
+    )
+    deltas = (
+        starts.unionByName(ends)
+        .filter(F.col("_t").isNotNull())
+        .groupBy(group_col, "_t")
+        .agg(F.sum("_d").alias("_net"))
+    )
+    cum = distributed_running_sum(
+        deltas,
+        group_col=group_col,
+        order_col="_t",
+        val=F.col("_net").cast("long"),
+        out_col=out_col,
+    )
+    return cum.select(
+        F.col(group_col),
+        F.col("_t").alias("ts"),
+        F.col(out_col).cast("long").alias(out_col),
+    )

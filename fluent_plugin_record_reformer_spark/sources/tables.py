@@ -99,3 +99,45 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
         except OSError:
             return None
     return est
+
+
+def write_bucketed(
+    df: DataFrame,
+    *,
+    table: str,
+    path: str,
+    bucket_col: str,
+    buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Bucketed + sorted parquet write: pays ONE hash shuffle at write
+    time so every future join / aggregation on ``bucket_col`` reads
+    already-hash-partitioned (and per-bucket sorted) data and skips
+    its Exchange entirely.
+
+    This is the batch-table answer to "co-locate the join" at 100 TB:
+    two tables bucketed by the same key into the same bucket count
+    sort-merge-join with ZERO shuffle on either side (pinned by
+    tests/test_bucketed.py against the physical plan) — the dominant
+    cost of a fact-fact join simply disappears for every subsequent
+    run. Bucket files also bound task input size deterministically
+    (|table| / buckets), independent of data skew in row order.
+
+    Spark only exposes bucket metadata through the catalog, so this
+    writes an EXTERNAL table (data at ``path``, definition under
+    ``table``) via ``saveAsTable`` and returns the catalog-backed
+    frame; a plain ``.parquet(path)`` read of the same files would
+    NOT know about the bucketing and would shuffle again.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1: {buckets}")
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(buckets, bucket_col)
+        .sortBy(*(sort_cols or [bucket_col]))
+    )
+    writer.saveAsTable(table)
+    return df.sparkSession.table(table)

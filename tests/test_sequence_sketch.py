@@ -408,3 +408,67 @@ def test_merge_summaries_rejects_schema_drift(spark):
     b = spark.range(3).groupBy().agg(F.count(F.lit(1)).alias("m"))
     with pytest.raises(ValueError, match="summary schema"):
         merge_summaries([a, b], keys=[], sum_cols=["n"])
+
+
+# ---------------------------------------------------------------------------
+# interval_concurrency
+# ---------------------------------------------------------------------------
+
+from fluent_plugin_record_reformer_spark.operators.sequence import (  # noqa: E402
+    interval_concurrency,
+)
+
+
+def test_interval_concurrency_matches_naive_sweep(spark):
+    iv = [
+        # (group, start, end) — integer "times" via timestamps
+        ("g1", 0, 10),
+        ("g1", 5, 15),
+        ("g1", 10, 20),   # starts exactly when the first ends: half-open
+        ("g1", 10, 12),
+        ("g2", 0, 1),
+        ("g2", 100, 101),
+    ]
+    df = spark.createDataFrame(iv, "g string, s long, e long").select(
+        "g",
+        F.timestamp_seconds(F.col("s")).alias("s"),
+        F.timestamp_seconds(F.col("e")).alias("e"),
+    )
+    got = {
+        (r["g"], int(r["ts"].timestamp())): r["concurrent"]
+        for r in interval_concurrency(
+            df, group_col="g", start_col="s", end_col="e"
+        ).collect()
+    }
+    # naive: for each boundary t, count intervals with s <= t < e
+    want = {}
+    for g in {x[0] for x in iv}:
+        spans = [(s, e) for gg, s, e in iv if gg == g]
+        for t in sorted({v for s, e in spans for v in (s, e)}):
+            want[(g, t)] = sum(1 for s, e in spans if s <= t < e)
+    assert got == want
+    # the curve ends at zero for every group
+    last = {}
+    for (g, t), c in sorted(got.items()):
+        last[g] = c
+    assert all(c == 0 for c in last.values())
+
+
+def test_interval_concurrency_no_single_task_window(spark):
+    """The sweep must NOT contain a global (empty-partition-spec)
+    window — the whole point of routing through the chunked prefix
+    sum."""
+    df = spark.range(100).select(
+        F.lit("all").alias("g"),
+        F.timestamp_seconds(F.col("id")).alias("s"),
+        F.timestamp_seconds(F.col("id") + 5).alias("e"),
+    )
+    plan = (
+        interval_concurrency(df, group_col="g", start_col="s", end_col="e")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_chunk" in line or "g#" in line, line
