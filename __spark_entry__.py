@@ -1927,6 +1927,65 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("ts", "concurrent")
 
 
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period movement: daily event counts with the prior
+    day's count attached via lag() — run over the PRE-AGGREGATED
+    (type, day) series, so the window touches |types|x|days| rows,
+    never raw events (the only correct place for a lag window at
+    100 TB). First day per type keeps a null prev (nothing to compare
+    against), exactly as the oracle's LAG does."""
+    ev = load_table(spark, sf_dir, "events")
+    # day as STRING on both engines: a DATE column round-trips to
+    # pandas as date (Spark) vs midnight Timestamp (DuckDB) and would
+    # hash differently at the driver
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.withColumn("prev_n", F.lag("n_events").over(w))
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: exact integer bin ids from one codegen'd
+    floor-divide (identical IEEE arithmetic both engines), counts and
+    exact-cents mass per bin — a single partial-aggregated groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / F.lit(25.0)).cast("long")
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(CENTS)).alias("sum_cents"),
+        )
+    )
+
+
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization round-trip: construct each tool turn's
+    request URL, then parse host/path/query-param back with Spark's
+    builtin parse_url (JVM, codegen-adjacent) and aggregate per
+    endpoint. The oracle re-parses the same constructed URLs with
+    regexes — misparses cannot hide behind the construction."""
+    t = _transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
+    url = F.concat(
+        F.lit("https://api.example.com/v1/"),
+        F.col("tool"),
+        F.lit("?conv="),
+        F.col("conv_id"),
+        F.lit("&turn="),
+        F.col("turn_idx").cast("string"),
+    )
+    parsed = t.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("conv")).alias("conv"),
+    )
+    return parsed.groupBy("host", "path").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.count_distinct("conv").alias("n_convs"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -2010,6 +2069,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_spend": q_rolling_spend,
     "incremental_agg": q_incremental_agg,
     "concurrency": q_concurrency,
+    "trending": q_trending,
+    "value_histogram": q_value_histogram,
+    "url_parse": q_url_parse,
 }
 
 
@@ -3206,6 +3268,42 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
     SELECT t AS ts,
            CAST(sum(net) OVER (ORDER BY t) AS BIGINT) AS concurrent
     FROM agg
+    """,
+    "trending": """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_events,
+           CAST(lag(n_events) OVER (
+             PARTITION BY event_type ORDER BY day
+           ) AS BIGINT) AS prev_n
+    FROM daily
+    """,
+    "value_histogram": f"""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({CENTS}) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1
+    """,
+    "url_parse": f"""
+    {TRANSCRIPTS_CTE}
+    , urls AS (
+      SELECT 'https://api.example.com/v1/' || tool
+               || '?conv=' || conv_id
+               || '&turn=' || CAST(turn_idx AS VARCHAR) AS url
+      FROM transcripts WHERE tool IS NOT NULL
+    ), parsed AS (
+      SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, 'conv=([^&]*)', 1) AS conv
+      FROM urls
+    )
+    SELECT host, path,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(count(DISTINCT conv) AS BIGINT) AS n_convs
+    FROM parsed GROUP BY 1, 2
     """,
 }
 
