@@ -124,3 +124,37 @@ def windowed_counts_stream(
             "n_turns",
         )
     )
+
+
+def template_counts_stream(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Live log-template mining: the operators/templates mask chain is
+    a stateless codegen'd projection, so it composes directly with the
+    watermarked windowed rollup — per (window, template) line counts
+    whose state is bounded by |windows in watermark| x |templates|
+    (templates are few by construction; that is the operator's point).
+    The batch mirror is ``mine_templates`` grouped by the same window;
+    tests assert exact equality between the two."""
+    from fluent_plugin_record_reformer_spark.operators.templates import (
+        template_col,
+    )
+
+    return (
+        stream.withColumn("_template", template_col(text_col))
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("win"), F.col("_template")
+        )
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("_template").alias("template"),
+            "n_lines",
+        )
+    )

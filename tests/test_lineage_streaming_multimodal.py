@@ -386,3 +386,44 @@ def test_streaming_windowed_counts_crash_recovery(spark, transcripts, tmp_path):
         (F.col("window_start") + F.expr("INTERVAL 6 HOURS")) <= F.lit(final_wm)
     )
     assert got.count() == want_final.count()
+
+
+def test_streaming_template_counts_match_batch(spark, transcripts, tmp_path):
+    from fluent_plugin_record_reformer_spark.operators.templates import (
+        template_col,
+    )
+    from fluent_plugin_record_reformer_spark.streaming.pipeline import (
+        template_counts_stream,
+    )
+
+    src = str(tmp_path / "tsrc")
+    transcripts.drop("tag").write.parquet(src)
+    stream = read_transcript_stream(spark, src)
+    agg = template_counts_stream(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tpl_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["template"]): r["n_lines"]
+        for r in spark.sql("SELECT * FROM tpl_counts").collect()
+    }
+    want = {
+        (r["ws"], r["template"]): r["n_lines"]
+        for r in (
+            spark.read.parquet(src)
+            .select(
+                F.window("ts", "1 hour").alias("win"),
+                template_col("text").alias("template"),
+            )
+            .groupBy(F.col("win.start").alias("ws"), "template")
+            .agg(F.count(F.lit(1)).alias("n_lines"))
+            .collect()
+        )
+    }
+    assert got == want
+    assert sum(got.values()) == transcripts.count()
