@@ -548,10 +548,10 @@ def edit1_pairs(
         .select(F.explode(_bucket_pairs("_ids")).alias("p"))
         .select(F.col("p.a").alias(out_a), F.col("p.b").alias(out_b))
         .distinct()
-        .filter(F.levenshtein(F.col(out_a), F.col(out_b)) <= 1)
         .withColumn(
             "dist", F.levenshtein(F.col(out_a), F.col(out_b)).cast("int")
         )
+        .filter(F.col("dist") <= 1)
     )
 
 

@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 # metacharacters).
 DEFAULT_MASK_RULES: tuple[tuple[str, str], ...] = (
     (
-        r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{12}",
         "<UUID>",
     ),
     (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
