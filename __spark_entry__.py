@@ -1986,6 +1986,32 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics: the distribution of per-key load (rows
+    per user within each event type) — n_keys, the hottest key's row
+    count, and EXACT p50/p90/p99 of the per-key counts via the chunked
+    distributed order statistics. This is the measurement that decides
+    salting factors and AQE skew thresholds before a 100 TB shuffle;
+    both joined frames are already aggregated (|types| x |users| and
+    |types| rows), so the diagnostic never re-scans raw data twice."""
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    q = exact_quantiles(counts, "n_rows", ["event_type"], qs=(0.5, 0.9, 0.99))
+    s = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    return q.join(s, "event_type").select(
+        "event_type", "n_keys", "max_rows", "p50", "p90", "p99"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -2072,6 +2098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trending": q_trending,
     "value_histogram": q_value_histogram,
     "url_parse": q_url_parse,
+    "skew_stats": q_skew_stats,
 }
 
 
@@ -3304,6 +3331,33 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            CAST(count(*) AS BIGINT) AS n_requests,
            CAST(count(DISTINCT conv) AS BIGINT) AS n_convs
     FROM parsed GROUP BY 1, 2
+    """,
+    "skew_stats": """
+    WITH counts AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, n_rows,
+             row_number() OVER (PARTITION BY event_type ORDER BY n_rows) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM counts
+    ), qs AS (
+      SELECT event_type,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN n_rows END) AS BIGINT) AS p50,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                      THEN n_rows END) AS BIGINT) AS p90,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                      THEN n_rows END) AS BIGINT) AS p99
+      FROM ranked GROUP BY 1
+    ), stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(n_rows) AS BIGINT) AS max_rows
+      FROM counts GROUP BY 1
+    )
+    SELECT qs.event_type, stats.n_keys, stats.max_rows,
+           qs.p50, qs.p90, qs.p99
+    FROM qs JOIN stats USING (event_type)
     """,
 }
 
