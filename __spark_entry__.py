@@ -2012,6 +2012,24 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags (operators/aggregate.mad_outliers):
+    |cents − median| > 3·MAD with EXACT integer medians from the
+    chunked order statistics — a bot's own spend cannot drag the
+    threshold that should catch it. Every row's flag is reproduced
+    bit-for-bit by the oracle's identical rank rule."""
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        mad_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr(CENTS).alias("cents")
+    )
+    return mad_outliers(
+        ev, value_col="cents", group_cols=["event_type"], k=3
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -2099,6 +2117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": q_value_histogram,
     "url_parse": q_url_parse,
     "skew_stats": q_skew_stats,
+    "mad_outliers": q_mad_outliers,
 }
 
 
@@ -3358,6 +3377,38 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
     SELECT qs.event_type, stats.n_keys, stats.max_rows,
            qs.p50, qs.p90, qs.p99
     FROM qs JOIN stats USING (event_type)
+    """,
+    "mad_outliers": f"""
+    WITH base AS (
+      SELECT event_id, event_type, {CENTS} AS cents FROM events
+    ), r1 AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    ), med AS (
+      SELECT event_type,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN cents END) AS BIGINT) AS group_median
+      FROM r1 GROUP BY 1
+    ), dev AS (
+      SELECT b.event_id, b.event_type, b.cents, m.group_median,
+             abs(b.cents - m.group_median) AS absdev
+      FROM base b JOIN med m USING (event_type)
+    ), r2 AS (
+      SELECT event_type, absdev,
+             row_number() OVER (PARTITION BY event_type ORDER BY absdev) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN absdev END) AS BIGINT) AS group_mad
+      FROM r2 GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.cents, d.group_median,
+           md.group_mad, d.absdev > 3 * md.group_mad AS is_outlier
+    FROM dev d JOIN mad md USING (event_type)
     """,
 }
 

@@ -368,3 +368,62 @@ def merge_summaries(
         + [F.max(c).alias(c) for c in max_cols]
     )
     return unioned.groupBy(*keys).agg(*aggs)
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: int = 3,
+    out_col: str = "is_outlier",
+    broadcast_offsets: bool = True,
+) -> DataFrame:
+    """Robust outlier flags via the median-absolute-deviation rule:
+    a row is an outlier when ``|x - median| > k * MAD``, where MAD is
+    the median of ``|x - median|`` within the row's group. Unlike
+    z-scores, both center and spread are 50%-breakdown robust — one
+    bot user cannot drag the threshold that is supposed to catch it
+    (the failure mode of the 2σ rule on heavy-tailed log data).
+
+    Exactness contract: ``value_col`` must be an exact integer
+    (cast money to cents upstream). Medians are exact rank-⌈n/2⌉
+    order statistics from :func:`exact_quantiles` (the chunked,
+    engine-portable layout — no single-task sort per group), absolute
+    deviations stay integers, and the flag comparison is pure integer
+    arithmetic — so the oracle reproduces every flag bit-for-bit.
+
+    Scale shape: two chunked quantile passes (the honest cost of two
+    exact medians) + two broadcast joins of |groups|-row frames back
+    onto the stream; the raw table is scanned twice (once per pass)
+    but never shuffled except by the quantile range partitioning.
+    """
+    med = exact_quantiles(
+        df.select(*group_cols, value_col),
+        value_col,
+        group_cols,
+        qs=(0.5,),
+        out_prefix="_med",
+        broadcast_offsets=broadcast_offsets,
+    ).withColumnRenamed("_med50", "_med")
+    med = F.broadcast(med) if broadcast_offsets else med
+    with_dev = df.join(med, list(group_cols)).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = exact_quantiles(
+        with_dev.select(*group_cols, "_absdev"),
+        "_absdev",
+        group_cols,
+        qs=(0.5,),
+        out_prefix="_mad",
+        broadcast_offsets=broadcast_offsets,
+    ).withColumnRenamed("_mad50", "_mad")
+    mad = F.broadcast(mad) if broadcast_offsets else mad
+    return (
+        with_dev.join(mad, list(group_cols))
+        .withColumn(
+            out_col, F.col("_absdev") > F.lit(int(k)) * F.col("_mad")
+        )
+        .withColumnsRenamed({"_med": "group_median", "_mad": "group_mad"})
+        .drop("_absdev")
+    )

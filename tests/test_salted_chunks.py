@@ -168,3 +168,44 @@ def test_salted_join_rejects_working_column_clash(spark):
     dim = spark.createDataFrame([(1, "a")], "k long, attr string")
     with pytest.raises(ValueError):
         salted_join(facts, dim, ["k"], salt_col="fid")
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+from fluent_plugin_record_reformer_spark.operators.aggregate import (  # noqa: E402
+    mad_outliers,
+)
+
+
+def test_mad_outliers_flags_only_the_bot(spark):
+    # 9 ordinary users at 90..110 cents, one bot at 100000
+    vals = [90, 95, 98, 100, 100, 102, 105, 108, 110, 100_000]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id int, g string, v long"
+    )
+    out = {
+        r["id"]: (r["is_outlier"], r["group_median"], r["group_mad"])
+        for r in mad_outliers(
+            df, value_col="v", group_cols=["g"], k=3
+        ).collect()
+    }
+    # rank rule: median = value at ceil(0.5*10) = rank 5 -> 100;
+    # absdevs sorted = [0,0,2,2,5,5,8,10,10,99900] -> MAD = 5
+    assert all(m == 100 and d == 5 for _, m, d in out.values())
+    flagged = {i for i, (f, _, _) in out.items() if f}
+    assert flagged == {9}  # the bot, and ONLY the bot
+
+
+def test_mad_outliers_zero_mad_group(spark):
+    # constant group: MAD = 0 -> any deviation is an outlier
+    df = spark.createDataFrame(
+        [(0, "g", 5), (1, "g", 5), (2, "g", 5), (3, "g", 6)],
+        "id int, g string, v long",
+    )
+    out = {
+        r["id"]: r["is_outlier"]
+        for r in mad_outliers(df, value_col="v", group_cols=["g"]).collect()
+    }
+    assert out == {0: False, 1: False, 2: False, 3: True}
