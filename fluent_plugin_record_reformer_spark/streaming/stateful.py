@@ -17,6 +17,7 @@ flow per group; the UDF sees (key, iterator-of-batches, state).
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -190,6 +191,90 @@ def streaming_top_talkers(
         make_top_talker_fn(k, capacity, capacity_by_group),
         outputStructType=TALKER_SCHEMA,
         stateStructType=TALKER_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+KMV_SCHEMA = (
+    "grp string, approx_distinct long, est_distinct double, "
+    "n_kmin int, is_exact boolean"
+)
+KMV_STATE_SCHEMA = "kmin array<long>"
+
+
+def make_kmv_fn(k: int):
+    """Per-group KMV (k-minimum-values) distinct sketch folded across
+    micro-batches. The hash is BIT-IDENTICAL to the batch operator's
+    ``operators/sketch.kmv_hash`` (md5 hex prefix → int64), so on the
+    same data the streaming k-min set — and therefore the estimate —
+    EQUALS the batch ``kmv_distinct`` output exactly (tested). Work
+    per batch is per-DISTINCT-value (``unique()``), never per-row."""
+    import hashlib
+
+    from ..operators.sketch import HASH_SPACE
+
+    def h60(v) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        (grp,) = key
+        kmin: list = []
+        if state.exists:
+            (kmin,) = state.get
+            kmin = list(kmin)
+        s = set(kmin)
+        for pdf in batches:
+            for v in pdf["key"].dropna().unique():
+                s.add(h60(v))
+        # k-min sets merge by union -> k smallest: mergeable, bounded
+        kmin = sorted(s)[:k]
+        state.update((kmin,))
+        if len(kmin) < k:
+            est, exact = float(len(kmin)), True
+        else:
+            est, exact = (k - 1) * HASH_SPACE / float(kmin[k - 1]), False
+        yield pd.DataFrame(
+            {
+                "grp": [grp],
+                # HALF_UP like the batch operator's F.round(...).cast
+                "approx_distinct": [int(math.floor(est + 0.5))],
+                "est_distinct": [est],
+                "n_kmin": [len(kmin)],
+                "is_exact": [exact],
+            }
+        )
+
+    return fn
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Live per-sink approximate distinct count ("how many unique
+    users per route, right now") with state bounded at ``k`` int64
+    hashes per group REGARDLESS of the stream's distinct-value
+    cardinality — the streaming counterpart of
+    ``operators/sketch.kmv_distinct``, sharing its exact hash and
+    estimator ((k-1)·2^60 / h_k; exact below k), so the two agree
+    bit-for-bit on the same data. Deterministic, unlike HLL sketches,
+    which is what makes the batch-vs-streaming equality testable.
+
+    ``value_col`` is string-cast before hashing on both sides; emits
+    (grp, est_distinct, n_kmin, is_exact) per group per trigger."""
+    src = stream.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("string").alias("key"),
+    )
+    return src.groupBy("grp").applyInPandasWithState(
+        make_kmv_fn(k),
+        outputStructType=KMV_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

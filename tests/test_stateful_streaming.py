@@ -656,3 +656,67 @@ def test_top_talker_capacity_by_group_int_keys():
     state2 = FakeState()
     list(fn2(("5",), iter([pdf]), state2))
     assert len(state2.v[0]) == 2  # default capacity prunes
+
+
+# ---------------------------------------------------------------------------
+# streaming_kmv_distinct
+# ---------------------------------------------------------------------------
+
+
+def _kmv_rows(spark, src_dir, *, k):
+    from fluent_plugin_record_reformer_spark.streaming.stateful import (
+        streaming_kmv_distinct,
+    )
+
+    stream = (
+        spark.readStream.schema("grp string, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sk = streaming_kmv_distinct(stream, group_col="grp", value_col="key", k=k)
+    out: list[tuple[int, list]] = []
+    q = (
+        sk.writeStream.foreachBatch(
+            lambda df, bid: out.append((bid, df.collect()))
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "query did not drain in time"
+    return out
+
+
+@pytest.mark.parametrize("k", [8, 64])
+def test_streaming_kmv_equals_batch_operator(spark, tmp_path, k):
+    """The streaming sketch's FINAL estimate equals the batch
+    kmv_distinct on the union of all micro-batches — same hash, same
+    estimator, state accumulated across two triggers. k=64 >= the 24
+    distinct keys (exact path); k=8 exercises the k-min estimate."""
+    from fluent_plugin_record_reformer_spark.operators.sketch import (
+        kmv_distinct,
+    )
+
+    src, all_rows = _write_talker_batches(spark, tmp_path)
+    out = _kmv_rows(spark, src, k=k)
+    assert len(out) >= 2
+    final_rows = max((bid, rows) for bid, rows in out if rows)[1]
+    final = {r["grp"]: r for r in final_rows}
+    batch = {
+        r["grp"]: r["approx_distinct"]
+        for r in kmv_distinct(
+            spark.createDataFrame(all_rows, "grp string, key string"),
+            "key",
+            ["grp"],
+            k=k,
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for g, r in final.items():
+        assert r["approx_distinct"] == batch[g], g
+        true_distinct = len({kk for gg, kk in all_rows if gg == g})
+        if k >= true_distinct:
+            assert r["is_exact"] and r["est_distinct"] == true_distinct
+        else:
+            assert not r["is_exact"]
+            assert r["n_kmin"] == k  # state bounded at k hashes
