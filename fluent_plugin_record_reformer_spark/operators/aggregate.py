@@ -48,6 +48,54 @@ def per_sink_counts(
     )
 
 
+def _chunked_ranks(
+    vals: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    broadcast_offsets: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Global per-group ranks of ``value_col`` WITHOUT a per-group
+    single-task sort: range-partition (group, value) into
+    order-monotone chunks, row_number within (group, chunk), add
+    broadcast per-chunk count offsets (the distributed_running_sum
+    layout; same hard invariants — deterministic input, exchange
+    reuse enforced fail-fast).
+
+    Returns ``(ranged, counted)``: ``ranged`` is the range-partitioned
+    row stream (with ``_chunk``) whose physical exchange a caller may
+    REUSE for a same-subtree output branch (how mad_outliers emits its
+    row stream without a second scan); ``counted`` adds the global
+    1-based rank ``_rn`` and group size ``_n``.
+    """
+    from pyspark.sql import Window
+
+    from .curation import _require_exchange_reuse
+
+    spark = vals.sparkSession
+    _require_exchange_reuse(spark, "_chunked_ranks")
+    chunks = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = vals.repartitionByRange(
+        chunks, *[F.col(c) for c in group_cols], F.col(value_col)
+    ).withColumn("_chunk", F.spark_partition_id())
+    w_local = Window.partitionBy(*group_cols, "_chunk").orderBy(value_col)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    cnt = ranged.groupBy(*group_cols, "_chunk").agg(F.count(F.lit(1)).alias("_cc"))
+    w_off = Window.partitionBy(*group_cols).orderBy("_chunk")
+    off = cnt.select(
+        *group_cols, "_chunk", (F.sum("_cc").over(w_off) - F.col("_cc")).alias("_coff")
+    )
+    tot = cnt.groupBy(*group_cols).agg(F.sum("_cc").alias("_n"))
+    if broadcast_offsets:
+        off, tot = F.broadcast(off), F.broadcast(tot)
+    counted = (
+        local.join(off, [*group_cols, "_chunk"])
+        .join(tot, list(group_cols))
+        .withColumn("_rn", F.col("_lrn") + F.col("_coff"))
+    )
+    return ranged, counted
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
@@ -90,31 +138,9 @@ def exact_quantiles(
     unbounded — a forced broadcast of millions of groups would blow
     the broadcast limit; AQE then sizes the join at runtime.
     """
-    from pyspark.sql import Window
-
-    from .curation import _require_exchange_reuse
-
-    spark = df.sparkSession
-    _require_exchange_reuse(spark, "exact_quantiles")
-    chunks = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     vals = df.filter(F.col(value_col).isNotNull()).select(*group_cols, value_col)
-    ranged = vals.repartitionByRange(
-        chunks, *[F.col(c) for c in group_cols], F.col(value_col)
-    ).withColumn("_chunk", F.spark_partition_id())
-    w_local = Window.partitionBy(*group_cols, "_chunk").orderBy(value_col)
-    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
-    cnt = ranged.groupBy(*group_cols, "_chunk").agg(F.count(F.lit(1)).alias("_cc"))
-    w_off = Window.partitionBy(*group_cols).orderBy("_chunk")
-    off = cnt.select(
-        *group_cols, "_chunk", (F.sum("_cc").over(w_off) - F.col("_cc")).alias("_coff")
-    )
-    tot = cnt.groupBy(*group_cols).agg(F.sum("_cc").alias("_n"))
-    if broadcast_offsets:
-        off, tot = F.broadcast(off), F.broadcast(tot)
-    counted = (
-        local.join(off, [*group_cols, "_chunk"])
-        .join(tot, list(group_cols))
-        .withColumn("_rn", F.col("_lrn") + F.col("_coff"))
+    _, counted = _chunked_ranks(
+        vals, group_cols, value_col, broadcast_offsets=broadcast_offsets
     )
     rank_of = {q: F.ceil(F.lit(q) * F.col("_n")).cast("long") for q in qs}
     picked = counted.filter(
@@ -393,13 +419,19 @@ def mad_outliers(
     deviations stay integers, and the flag comparison is pure integer
     arithmetic — so the oracle reproduces every flag bit-for-bit.
 
-    Scale shape: two chunked quantile passes (the honest cost of two
-    exact medians) + two broadcast joins of |groups|-row frames back
-    onto the stream; the raw table is scanned twice (once per pass)
-    but never shuffled except by the quantile range partitioning.
+    Scale shape: two chunked rank passes (the honest cost of two
+    exact medians), each a single scan — the MAD pass's range
+    exchange is REUSED as the output row stream (its rank branch and
+    the emitted rows share one physical shuffle; same-subtree
+    ReusedExchange, the distributed_running_sum discipline), so the
+    full job is exactly two scans of the input, two range shuffles,
+    and two broadcast joins of |groups|-row frames. Rows whose
+    ``value_col`` is NULL are excluded (they carry no order — the
+    same contract as exact_quantiles).
     """
+    base = df.filter(F.col(value_col).isNotNull())
     med = exact_quantiles(
-        df.select(*group_cols, value_col),
+        base.select(*group_cols, value_col),
         value_col,
         group_cols,
         qs=(0.5,),
@@ -407,23 +439,25 @@ def mad_outliers(
         broadcast_offsets=broadcast_offsets,
     ).withColumnRenamed("_med50", "_med")
     med = F.broadcast(med) if broadcast_offsets else med
-    with_dev = df.join(med, list(group_cols)).withColumn(
+    with_dev = base.join(med, list(group_cols)).withColumn(
         "_absdev", F.abs(F.col(value_col) - F.col("_med"))
     )
-    mad = exact_quantiles(
-        with_dev.select(*group_cols, "_absdev"),
-        "_absdev",
-        group_cols,
-        qs=(0.5,),
-        out_prefix="_mad",
-        broadcast_offsets=broadcast_offsets,
-    ).withColumnRenamed("_mad50", "_mad")
+    # one chunked rank pass over with_dev: `ranged` carries ALL
+    # columns, so the emitted row stream reads the same exchange the
+    # MAD rank computation does — no third scan, no recomputed median
+    ranged, counted = _chunked_ranks(
+        with_dev, group_cols, "_absdev", broadcast_offsets=broadcast_offsets
+    )
+    half = F.ceil(F.lit(0.5) * F.col("_n")).cast("long")
+    mad = counted.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("_rn") == half, F.col("_absdev"))).alias("_mad")
+    )
     mad = F.broadcast(mad) if broadcast_offsets else mad
     return (
-        with_dev.join(mad, list(group_cols))
+        ranged.join(mad, list(group_cols))
         .withColumn(
             out_col, F.col("_absdev") > F.lit(int(k)) * F.col("_mad")
         )
         .withColumnsRenamed({"_med": "group_median", "_mad": "group_mad"})
-        .drop("_absdev")
+        .drop("_absdev", "_chunk")
     )
