@@ -2030,6 +2030,56 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUI_BINS = 8
+
+
+def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (quantile) binning (operators/aggregate.
+    equi_depth_bins): ~n/8 rows per bucket per event type with bucket
+    spans — the feature-bucketing primitive equi-width histograms
+    can't provide on skewed data. Bucket ids come from the chunked
+    global rank; the oracle applies the identical ceil(r·b/n) rule
+    (deliberately NOT ntile(), whose split rule differs)."""
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        equi_depth_bins,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(CENTS).alias("cents")
+    )
+    return equi_depth_bins(
+        ev, value_col="cents", group_cols=["event_type"], bins=EQUI_BINS
+    )
+
+
+def q_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship log-anomaly pipeline, ONE lazy plan: mask lines to
+    templates (codegen'd chain) → per-(template, day) rates (hash
+    agg) → robust MAD flags on each template's daily series (chunked
+    exact medians) — "which log shape spiked, on which day" over the
+    full firehose with no UDF, no driver action, and a bot-resistant
+    threshold. Every flag is reproduced bit-for-bit by the oracle."""
+    from fluent_plugin_record_reformer_spark.operators.aggregate import (
+        mad_outliers,
+    )
+    from fluent_plugin_record_reformer_spark.operators.templates import (
+        template_col,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    daily = (
+        t.select(
+            template_col("text").alias("template"),
+            F.to_date("ts").cast("string").alias("day"),
+        )
+        .groupBy("template", "day")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return mad_outliers(
+        daily, value_col="n_lines", group_cols=["template"], k=3
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -2118,6 +2168,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_parse": q_url_parse,
     "skew_stats": q_skew_stats,
     "mad_outliers": q_mad_outliers,
+    "equi_depth": q_equi_depth,
+    "anomaly_e2e": q_anomaly_e2e,
 }
 
 
@@ -3409,6 +3461,58 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
     SELECT d.event_id, d.event_type, d.cents, d.group_median,
            md.group_mad, d.absdev > 3 * md.group_mad AS is_outlier
     FROM dev d JOIN mad md USING (event_type)
+    """,
+    "equi_depth": f"""
+    WITH base AS (
+      SELECT event_type, {CENTS} AS cents FROM events
+    ), ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    )
+    SELECT event_type,
+           CAST(ceil(rn * {EQUI_BINS} * 1.0 / n) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo,
+           CAST(max(cents) AS BIGINT) AS hi
+    FROM ranked GROUP BY 1, 2
+    """,
+    "anomaly_e2e": f"""
+    {TRANSCRIPTS_CTE}
+    , daily AS (
+      SELECT {sql_template_expr("text")} AS template,
+             strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM transcripts GROUP BY 1, 2
+    ), r1 AS (
+      SELECT template, n_lines,
+             row_number() OVER (PARTITION BY template ORDER BY n_lines) AS rn,
+             count(*) OVER (PARTITION BY template) AS n
+      FROM daily
+    ), med AS (
+      SELECT template,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN n_lines END) AS BIGINT) AS group_median
+      FROM r1 GROUP BY 1
+    ), dev AS (
+      SELECT d.template, d.day, d.n_lines, m.group_median,
+             abs(d.n_lines - m.group_median) AS absdev
+      FROM daily d JOIN med m USING (template)
+    ), r2 AS (
+      SELECT template, absdev,
+             row_number() OVER (PARTITION BY template ORDER BY absdev) AS rn,
+             count(*) OVER (PARTITION BY template) AS n
+      FROM dev
+    ), mad AS (
+      SELECT template,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN absdev END) AS BIGINT) AS group_mad
+      FROM r2 GROUP BY 1
+    )
+    SELECT d.template, d.day, d.n_lines, d.group_median,
+           md.group_mad, d.absdev > 3 * md.group_mad AS is_outlier
+    FROM dev d JOIN mad md USING (template)
     """,
 }
 

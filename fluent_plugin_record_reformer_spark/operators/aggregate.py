@@ -461,3 +461,46 @@ def mad_outliers(
         .withColumnsRenamed({"_med": "group_median", "_mad": "group_mad"})
         .drop("_absdev", "_chunk")
     )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    bins: int,
+    broadcast_offsets: bool = True,
+) -> DataFrame:
+    """Exact equi-depth (quantile) binning: per group, one row per
+    bucket with its row count and value span — the feature-bucketing /
+    equalized-histogram primitive (equi-WIDTH bins starve on skewed
+    data; equi-depth puts ~n/bins rows in every bucket by
+    construction).
+
+    Bucket rule: row at global rank r (1-based) lands in
+    ``ceil(r * bins / n)`` — pure integer arithmetic on the chunked
+    rank (no single-task sort per group), identical in the oracle (we
+    deliberately avoid SQL ``ntile()``, whose extras-first split rule
+    differs from this formula). Emitting per-BUCKET aggregates rather
+    than per-row bins keeps the output stable under rank ties: tied
+    values straddling a bucket edge can swap which copy lands where,
+    but bucket sizes and spans cannot change.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, value_col
+    )
+    _, counted = _chunked_ranks(
+        vals, list(group_cols), value_col, broadcast_offsets=broadcast_offsets
+    )
+    b = F.ceil(F.col("_rn") * F.lit(int(bins)) / F.col("_n")).cast("int")
+    return (
+        counted.withColumn("bin", b)
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )

@@ -209,3 +209,34 @@ def test_mad_outliers_zero_mad_group(spark):
         for r in mad_outliers(df, value_col="v", group_cols=["g"]).collect()
     }
     assert out == {0: False, 1: False, 2: False, 3: True}
+
+
+from fluent_plugin_record_reformer_spark.operators.aggregate import (  # noqa: E402
+    equi_depth_bins,
+)
+
+
+def test_equi_depth_bins_sizes_and_spans(spark):
+    # 100 skewed values: equi-WIDTH would put 91 rows in one bin;
+    # equi-depth must yield 25±0 rows per bin by construction
+    vals = list(range(90)) + [1000, 2000, 3000, 4000, 5000, 6000, 7000,
+                              8000, 9000, 10000]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = sorted(
+        (r["bin"], r["n_rows"], r["lo"], r["hi"])
+        for r in equi_depth_bins(
+            df, value_col="v", group_cols=["g"], bins=4
+        ).collect()
+    )
+    assert [b for b, *_ in out] == [1, 2, 3, 4]
+    assert all(n == 25 for _, n, *_ in out)
+    # spans are ordered and non-overlapping
+    for (b1, _, _, hi1), (b2, _, lo2, _) in zip(out, out[1:]):
+        assert hi1 <= lo2
+    assert out[3][3] == 10000
+
+
+def test_equi_depth_bins_rejects_bad_bins(spark):
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="bins"):
+        equi_depth_bins(df, value_col="v", group_cols=["g"], bins=0)
