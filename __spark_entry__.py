@@ -2080,6 +2080,52 @@ def q_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted gauge sums per event type (operators/sequence.
+    time_weighted_sums): each observation weighted by how long it held
+    (LOCF) — exact integer Σ cents·Δµs and Σ Δµs, from which the
+    time-weighted mean is one division. An unweighted mean over-counts
+    chatty periods; this is the standard telemetry correction."""
+    from fluent_plugin_record_reformer_spark.operators.sequence import (
+        time_weighted_sums,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.expr(CENTS).alias("cents")
+    )
+    return time_weighted_sums(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        order_tiebreak=["event_id"],
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup (operators/dedup.lsh_incremental_near_dup):
+    near-dups of the 'new batch' (doc_id % 10 == 0) against the
+    standing corpus ONLY — per LSH bucket, just the new x old cross
+    product; the corpus never re-pairs against itself (at a 10^12-doc
+    corpus that re-pairing would dwarf the actual ingest). Exact
+    carried-set Jaccard, mirrored by the oracle's side-filtered
+    bucket join."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import (
+        lsh_incremental_near_dup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    return lsh_incremental_near_dup(
+        corpus,
+        batch,
+        num_hashes=MINHASH_K,
+        bands=LSH_BANDS,
+        shingle_n=SHINGLE_N,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -2170,6 +2216,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "equi_depth": q_equi_depth,
     "anomaly_e2e": q_anomaly_e2e,
+    "time_weighted": q_time_weighted,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 
@@ -3514,6 +3562,37 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
            md.group_mad, d.absdev > 3 * md.group_mad AS is_outlier
     FROM dev d JOIN mad md USING (template)
     """,
+    "time_weighted": f"""
+    WITH base AS (
+      SELECT event_type, ts, event_id, {CENTS} AS cents FROM events
+    ), held AS (
+      SELECT event_type, cents,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             )) - epoch_us(ts) AS dur
+      FROM base
+    )
+    SELECT event_type,
+           CAST(sum(cents * dur) AS BIGINT) AS sum_weighted,
+           CAST(sum(dur) AS BIGINT) AS sum_micros,
+           CAST(count(*) AS BIGINT) AS n_holds
+    FROM held WHERE dur IS NOT NULL GROUP BY 1
+    """,
+    "incremental_dedup": _docs_dedup_ctes()
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+  FROM banded a JOIN banded b USING (band_idx, bucket)
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+)
+SELECT p.id_new, p.id_old,
+       round(len(list_intersect(sa.sset, sb.sset))::DOUBLE /
+             (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))),
+             4) AS jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_new
+JOIN sigs sb ON sb.doc_id = p.id_old
+""",
 }
 
 

@@ -761,3 +761,92 @@ def doc_fingerprints(
         F.first("poly_fp").alias("poly_fp"),
         F.min(_seeded_hash60(F.col("_s"), 0)).alias("winnow_fp"),
     )
+
+
+def lsh_incremental_near_dup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dups of a NEW batch against an EXISTING corpus — the daily
+    -ingest shape of LSH dedup: only CROSS-boundary candidate pairs
+    (batch doc x corpus doc) are generated, never corpus x corpus.
+
+    Why this is its own operator at 100 TB: ingesting 10^7 new docs
+    against a 10^12-doc corpus must not re-enumerate the corpus's own
+    bucket pairs (that work is O(corpus buckets) every day and was
+    already done when those docs were ingested). Here each bucket
+    splits its members by side and emits only the new x old cross
+    product — per-bucket cost \\|new\\| x \\|old\\|, zero when a bucket has
+    no new member, which at a daily-batch ratio is almost every
+    bucket.
+
+    Same guarantees as :func:`lsh_near_dup`: sets carried through the
+    pair-gen (no join back to either table), exact shingle-hash
+    Jaccard, ``max_bucket`` flood cap (applied to the bucket's TOTAL
+    membership), multi-bucket pairs collapsed by the final distinct.
+    Ids must be unique ACROSS both tables (they identify the pair).
+    Output: (id_new, id_old, jaccard).
+    """
+    def banded(df: DataFrame, is_new: bool) -> DataFrame:
+        return minhash_lsh(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            carry_sets=True,
+        ).withColumn("_is_new", F.lit(is_new))
+
+    both = banded(corpus, False).unionByName(banded(batch, True))
+    member = F.struct(F.col(id_col).alias("i"), F.col("_sset").alias("s"))
+    members = both.groupBy("band_idx", "bucket").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("_is_new"), member))
+        ).alias("_new"),
+        F.array_sort(
+            F.collect_list(F.when(~F.col("_is_new"), member))
+        ).alias("_old"),
+    )
+    if max_bucket is not None:
+        members = members.filter(
+            F.size("_new") + F.size("_old") <= max_bucket
+        )
+    cross = F.flatten(
+        F.transform(
+            F.col("_new"),
+            lambda n: F.transform(
+                F.col("_old"),
+                lambda o: F.struct(n.alias("n"), o.alias("o")),
+            ),
+        )
+    )
+    pairs = (
+        members.filter((F.size("_new") > 0) & (F.size("_old") > 0))
+        .select(F.explode(cross).alias("p"))
+        .select(
+            F.col("p.n.i").alias("id_new"),
+            F.col("p.o.i").alias("id_old"),
+            F.col("p.n.s").alias("_sn"),
+            F.col("p.o.s").alias("_so"),
+        )
+    )
+    inter = F.size(F.array_intersect("_sn", "_so"))
+    union = F.size("_sn") + F.size("_so") - inter
+    return (
+        pairs.select(
+            "id_new",
+            "id_old",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )

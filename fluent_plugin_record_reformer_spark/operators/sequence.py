@@ -254,3 +254,45 @@ def interval_concurrency(
         F.col("_t").alias("ts"),
         F.col(out_col).cast("long").alias(out_col),
     )
+
+
+def time_weighted_sums(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key time-weighted aggregation inputs for gauge-style
+    metrics: each observation holds until the key's NEXT observation
+    (last-observation-carried-forward), so its weight is that holding
+    duration. Emits exact integer sums — ``sum_weighted = Σ value·Δµs``
+    and ``sum_micros = Σ Δµs`` — from which callers derive the
+    time-weighted mean as one division (the unweighted mean of a gauge
+    over-counts chatty periods; this is the standard telemetry fix).
+
+    The last observation of each key has no successor: zero duration,
+    contributing nothing — equivalently, the average is over the key's
+    observed span. Exactness contract: integer ``value_col`` (cents,
+    bytes, permille); products stay in BIGINT (|value·Δµs| must fit —
+    fine for year-scale spans times cent-scale gauges).
+
+    Scale shape: one shuffle by key + the module's usual external
+    per-key sort for ``lead()``; sums are order-free partial
+    aggregations, so the result is bit-stable under any partitioning.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_tiebreak]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
+    dur = nxt - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        df.withColumn("_dur", dur)
+        .filter(F.col("_dur").isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.col(value_col) * F.col("_dur")).alias("sum_weighted"),
+            F.sum("_dur").alias("sum_micros"),
+            F.count(F.lit(1)).alias("n_holds"),
+        )
+    )

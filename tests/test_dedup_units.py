@@ -400,3 +400,55 @@ def test_edit1_pairs_no_python_in_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# lsh_incremental_near_dup
+# ---------------------------------------------------------------------------
+
+from fluent_plugin_record_reformer_spark.operators.dedup import (  # noqa: E402
+    lsh_incremental_near_dup,
+    lsh_near_dup,
+)
+
+
+def test_incremental_equals_cross_side_slice_of_full(spark):
+    """Cross-boundary pairs must be EXACTLY the full self-join's pairs
+    restricted to (new, old) — nothing lost, nothing intra-side."""
+    base = "the quick brown fox jumps over the lazy dog "
+    docs = [
+        (i, base * 3 + f"tail {i % 4}") for i in range(20)
+    ]  # heavy overlap → plenty of bucket collisions
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = df.filter("doc_id % 2 = 1")
+    batch = df.filter("doc_id % 2 = 0")
+    inc = {
+        (r["id_new"], r["id_old"]): r["jaccard"]
+        for r in lsh_incremental_near_dup(
+            corpus, batch, num_hashes=16, bands=4, shingle_n=3
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_near_dup(df, num_hashes=16, bands=4, shingle_n=3).collect()
+    }
+    want = {}
+    for (a, b), j in full.items():
+        if a % 2 == 0 and b % 2 == 1:
+            want[(a, b)] = j
+        elif b % 2 == 0 and a % 2 == 1:
+            want[(b, a)] = j
+    assert inc == want
+    assert want, "fixture must produce cross pairs"
+    assert all(n % 2 == 0 and o % 2 == 1 for n, o in inc)
+
+
+def test_incremental_max_bucket_counts_total_membership(spark):
+    docs = [(i, "identical text for every doc") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus, batch = df.filter("doc_id < 5"), df.filter("doc_id >= 5")
+    # every doc in one bucket per band: total membership 10 > cap 8
+    assert (
+        lsh_incremental_near_dup(corpus, batch, max_bucket=8).count() == 0
+    )
+    assert lsh_incremental_near_dup(corpus, batch).count() == 25
