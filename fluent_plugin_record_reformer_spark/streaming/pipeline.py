@@ -158,3 +158,52 @@ def template_counts_stream(
             "n_lines",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time tolerance window:
+    each left event matches right events with the same ``key`` whose
+    timestamp falls in ``[left_ts, left_ts + tolerance]`` — the
+    request/response correlation every tool-using transcript pipeline
+    needs live (turn → tool result, log line → alert ack).
+
+    State discipline: BOTH sides carry a watermark and the join
+    condition time-bounds ``right_ts`` against ``left_ts`` from both
+    directions, so Structured Streaming can GC buffered rows once the
+    watermark passes the tolerance horizon — without the bound the
+    state store grows with the whole stream (the canonical
+    stream-join OOM). Output is append-mode: a match emits once both
+    sides have arrived; equality with the equivalent batch join over
+    the drained input is pinned in tests.
+
+    ``left_ts`` and ``right_ts`` must be distinct column names (both
+    survive into the output).
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must be distinct column names "
+            f"(both got {left_ts!r}); rename one side before joining"
+        )
+    if tolerance_seconds < 0:
+        raise ValueError(f"tolerance_seconds must be >= 0: {tolerance_seconds}")
+    ll = left.withWatermark(left_ts, watermark)
+    rr = right.withWatermark(right_ts, watermark)
+    cond = (
+        (ll[key] == rr[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts)
+            + F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+        )
+    )
+    return ll.join(rr, cond, "inner").drop(rr[key])

@@ -427,3 +427,92 @@ def test_streaming_template_counts_match_batch(spark, transcripts, tmp_path):
     }
     assert got == want
     assert sum(got.values()) == transcripts.count()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Drained stream-stream tolerance join == the equivalent batch
+    join: matches inside [req_ts, req_ts + 60s] survive, both-side
+    watermarks bound state, late/out-of-window rows never pair."""
+    import datetime as dt
+
+    from fluent_plugin_record_reformer_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    reqs = [
+        ("c1", base, "req-a"),
+        ("c1", base + dt.timedelta(seconds=300), "req-b"),
+        ("c2", base, "req-c"),
+        ("c3", base, "req-d"),  # no response at all
+    ]
+    resps = [
+        ("c1", base + dt.timedelta(seconds=30), "ok-a"),      # inside
+        ("c1", base + dt.timedelta(seconds=320), "ok-b"),     # inside (req-b)
+        ("c1", base + dt.timedelta(seconds=200), "late-a"),   # outside both
+        ("c2", base - dt.timedelta(seconds=5), "early-c"),    # before req
+    ]
+    lsrc, rsrc = str(tmp_path / "reqs"), str(tmp_path / "resps")
+    spark.createDataFrame(
+        reqs, "conv_id string, req_ts timestamp, req string"
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        resps, "conv_id string, res_ts timestamp, res string"
+    ).write.parquet(rsrc)
+
+    lstream = spark.readStream.schema(
+        "conv_id string, req_ts timestamp, req string"
+    ).parquet(lsrc)
+    rstream = spark.readStream.schema(
+        "conv_id string, res_ts timestamp, res string"
+    ).parquet(rsrc)
+    joined = stream_interval_join(
+        lstream,
+        rstream,
+        key="conv_id",
+        left_ts="req_ts",
+        right_ts="res_ts",
+        tolerance_seconds=60,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream join did not drain"
+    got = sorted(
+        (r["conv_id"], r["req"], r["res"])
+        for r in spark.sql("SELECT * FROM sj_out").collect()
+    )
+    lb = spark.read.parquet(lsrc)
+    rb = spark.read.parquet(rsrc)
+    want = sorted(
+        (r["conv_id"], r["req"], r["res"])
+        for r in lb.join(
+            rb,
+            (lb["conv_id"] == rb["conv_id"])
+            & (rb["res_ts"] >= lb["req_ts"])
+            & (rb["res_ts"] <= lb["req_ts"] + F.expr("INTERVAL 60 SECONDS")),
+            "inner",
+        ).collect()
+    )
+    assert got == want
+    assert got == [("c1", "req-a", "ok-a"), ("c1", "req-b", "ok-b")]
+
+
+def test_stream_interval_join_rejects_same_ts_name(spark, tmp_path):
+    from fluent_plugin_record_reformer_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    src = str(tmp_path / "one")
+    spark.createDataFrame(
+        [("k1", None)], "k string, ts timestamp"
+    ).write.parquet(src)
+    s = spark.readStream.schema("k string, ts timestamp").parquet(src)
+    with pytest.raises(ValueError, match="distinct column names"):
+        stream_interval_join(
+            s, s, key="k", left_ts="ts", right_ts="ts", tolerance_seconds=5
+        )
