@@ -221,3 +221,44 @@ def test_ivf_assign_rejects_null_centroid_vectors(spark):
     )
     with pytest.raises(ValueError, match="non-null"):
         ivf_assign(vecs, cents)
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, tmp_path):
+    """The session leaves Spark's runtime bloom-filter injection ON
+    (default thresholds: creation side <= 10 MiB, application-side
+    scan >= 10 GiB — i.e. it engages exactly on the 100 TB shapes this
+    engine targets). This test lowers the application-side threshold
+    to our test scale and pins that a selective dim filter injects
+    bloom_filter semi-join reduction into the fact scan of a SHUFFLE
+    join — the runtime analog of the broadcast pushdown the engine
+    pins elsewhere."""
+    fdir, ddir = str(tmp_path / "facts"), str(tmp_path / "dim")
+    spark.range(200_000).selectExpr(
+        "id % 1000 AS k", "id AS v"
+    ).write.parquet(fdir)
+    spark.range(1000).selectExpr(
+        "id AS k", "id % 7 AS cat"
+    ).write.parquet(ddir)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        facts = spark.read.parquet(fdir)
+        dim = spark.read.parquet(ddir).filter("cat = 3")  # selective
+        j = facts.join(dim, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+        # and the filtered join still returns the right rows
+        assert j.count() == facts.join(
+            spark.read.parquet(ddir).filter("cat = 3"), "k"
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "10GB",
+        )
