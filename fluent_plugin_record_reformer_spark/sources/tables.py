@@ -141,3 +141,50 @@ def write_bucketed(
     )
     writer.saveAsTable(table)
     return df.sparkSession.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Small-file compaction: rewrite a parquet directory into files
+    sized near ``target_file_bytes``, optionally range-clustered by
+    ``sort_cols``.
+
+    Why it's a first-class operator: streaming sinks and per-route
+    fan-outs accrete thousands of KB-sized files per partition; at
+    100 TB a scan then pays one task + one footer-read per tiny file
+    and the NameNode/manifest pays the metadata. Compaction sizes the
+    output from the ACTUAL input bytes (not a guessed partition
+    count), so the result holds as data grows. With ``sort_cols`` the
+    rewrite doubles as a clustering pass (repartitionByRange + sorted
+    files → tight min/max stats, same machinery as zorder_layout's
+    write).
+
+    Writes to a NEW directory (``dst_dir``) — swapping it in is the
+    caller's atomic-publish step (at scale: a catalog/manifest commit,
+    e.g. Iceberg rewrite_data_files; locally: a rename). Local
+    filesystem paths only for the size probe (the sandbox case);
+    remote stores should take file sizes from their listing API.
+    """
+    import glob as globmod
+    import math
+
+    files = globmod.glob(os.path.join(src_dir, "*.parquet"))
+    if not files:
+        raise ValueError(f"compact_parquet: no parquet files in {src_dir}")
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / int(target_file_bytes)))
+    df = spark.read.parquet(src_dir)
+    if sort_cols:
+        arranged = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        arranged = df.repartition(n)
+    arranged.write.mode("errorifexists").parquet(dst_dir)
+    return spark.read.parquet(dst_dir)

@@ -101,3 +101,67 @@ def test_estimated_splits_uses_conf_suffix(spark, tmp_path):
         assert est == 1
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# ---------------------------------------------------------------------------
+# compact_parquet
+# ---------------------------------------------------------------------------
+
+from fluent_plugin_record_reformer_spark.sources.tables import (  # noqa: E402
+    compact_parquet,
+)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    spark.range(50_000).selectExpr("id AS k", "id * 2 AS v").repartition(
+        64
+    ).write.parquet(src)
+    import glob
+
+    n_before = len(glob.glob(f"{src}/*.parquet"))
+    assert n_before == 64
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    out = compact_parquet(
+        spark, src, dst, target_file_bytes=max(1, total // 2)
+    )
+    n_after = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_after <= 3
+    assert out.count() == 50_000
+    assert out.agg({"v": "sum"}).first()[0] == spark.read.parquet(src).agg(
+        {"v": "sum"}
+    ).first()[0]
+
+
+def test_compact_parquet_clusters_when_sorted(spark, tmp_path):
+    src, dst = str(tmp_path / "s2"), str(tmp_path / "c2")
+    spark.range(40_000).selectExpr("id % 1000 AS k").repartition(
+        32
+    ).write.parquet(src)
+    import glob
+    import os as osmod
+
+    import pyarrow.parquet as pq
+
+    total = sum(
+        osmod.path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    compact_parquet(
+        spark, src, dst, target_file_bytes=max(1, total // 4), sort_cols=["k"]
+    )
+    spans = []
+    for f in sorted(glob.glob(f"{dst}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        st = md.row_group(0).column(0).statistics
+        spans.append((st.min, st.max))
+    assert len(spans) >= 2
+    # range clustering: file key spans are disjoint (ordered)
+    for (_, hi1), (lo2, _) in zip(sorted(spans), sorted(spans)[1:]):
+        assert hi1 <= lo2
+
+
+def test_compact_parquet_rejects_empty_dir(spark, tmp_path):
+    with pytest.raises(ValueError, match="no parquet files"):
+        compact_parquet(spark, str(tmp_path / "nothing"), str(tmp_path / "o"))
