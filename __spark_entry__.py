@@ -2126,6 +2126,49 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multiline_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline log reassembly (operators/parse.assemble_multiline):
+    stack-trace-style blocks (head + indented frames, constructed
+    deterministically from error events) stitched back into one
+    message per incident via the per-source head-cumsum — the fluentd
+    concat problem, batch-side. The oracle rebuilds the same lines
+    and reassembles them with the identical window/string_agg, so any
+    mis-segmentation breaks the hash."""
+    from fluent_plugin_record_reformer_spark.operators.parse import (
+        assemble_multiline,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(2)))
+    staged = ev.select(
+        F.concat(
+            F.lit("app-"), F.pmod(F.col("user_id"), F.lit(4)).cast("string")
+        ).alias("src"),
+        F.col("event_id"),
+        F.col("value"),
+        k.alias("k"),
+    )
+    lines = staged.select(
+        "src",
+        (F.col("event_id") * 3 + F.col("k")).alias("ord"),
+        F.when(
+            F.col("k") == 0,
+            F.format_string("ERR id=%d value=%.2f", F.col("event_id"), F.col("value")),
+        )
+        .otherwise(
+            F.format_string(
+                "\tat com.example.stage%d(ev%d)", F.col("k"), F.col("event_id")
+            )
+        )
+        .alias("line"),
+    )
+    return assemble_multiline(
+        lines, line_col="line", source_col="src", order_col="ord"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -2218,6 +2261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_e2e": q_anomaly_e2e,
     "time_weighted": q_time_weighted,
     "incremental_dedup": q_incremental_dedup,
+    "multiline_logs": q_multiline_logs,
 }
 
 
@@ -3593,6 +3637,30 @@ FROM pairs p
 JOIN sigs sa ON sa.doc_id = p.id_new
 JOIN sigs sb ON sb.doc_id = p.id_old
 """,
+    "multiline_logs": """
+    WITH errs AS (
+      SELECT event_id, user_id, value FROM events
+      WHERE event_type = 'error'
+    ), lines AS (
+      SELECT 'app-' || CAST(user_id % 4 AS VARCHAR) AS src,
+             event_id * 3 + k AS ord,
+             CASE WHEN k = 0
+                  THEN printf('ERR id=%d value=%.2f', event_id, value)
+                  ELSE printf('\tat com.example.stage%d(ev%d)', k, event_id)
+             END AS line
+      FROM errs CROSS JOIN unnest([0, 1, 2]) AS t(k)
+    ), seg AS (
+      SELECT src, ord, line,
+             sum(CASE WHEN regexp_matches(line, '^\\S') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY src ORDER BY ord) AS seg_idx
+      FROM lines
+    )
+    SELECT src, CAST(seg_idx AS BIGINT) AS seg_idx,
+           seg_idx > 0 AS has_head,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           string_agg(line, chr(10) ORDER BY ord) AS message
+    FROM seg GROUP BY src, seg_idx
+    """,
 }
 
 

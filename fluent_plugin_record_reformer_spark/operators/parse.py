@@ -520,3 +520,77 @@ def pandas_regex_parse(
     for f_ in fields:
         out = out.withColumn(f_, F.col("__parsed").getField(f_))
     return out.drop("__parsed")
+
+
+def assemble_multiline(
+    df: DataFrame,
+    *,
+    line_col: str,
+    source_col: str,
+    order_col: str,
+    head_regex: str = r"^\S",
+    out_col: str = "message",
+    max_lines: int | None = 10_000,
+) -> DataFrame:
+    """Multiline log reassembly: stitch continuation lines (stack
+    frames, wrapped messages) back onto their head line — the
+    fluentd-concat problem, solved batch-side.
+
+    A line matching ``head_regex`` STARTS a record; every following
+    line of the same ``source_col`` (a file/host/container — lines
+    only ever continue within one source) up to the next head belongs
+    to it. Segment ids are the running count of heads in
+    ``order_col`` order, so the operator is: one window cumsum per
+    source (external sort, spillable) + one hash groupBy per segment
+    that array-sorts its few lines and joins them with newlines.
+    Orphan lines before a source's first head form segment 0 with
+    ``has_head = false`` — surfaced, never silently dropped (the
+    error-containment discipline of the parse stage, core.rb:315-319).
+
+    ``max_lines`` fail-fast guards a runaway segment (a source whose
+    head regex never matches would otherwise collapse into ONE giant
+    row — the same in-plan assert_true discipline as the bucket/span
+    guards). ``order_col`` must be a deterministic total order within
+    a source.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_head = F.col(line_col).rlike(head_regex)
+    seg = df.withColumn("_seg", F.sum(is_head.cast("long")).over(w))
+    lines = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(line_col).alias("l"))
+        )
+    )
+    grouped = seg.groupBy(source_col, "_seg").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        lines.alias("_lines"),
+    )
+    n = F.col("n_lines")
+    if max_lines is not None:
+        guard = F.assert_true(
+            n <= F.lit(int(max_lines)),
+            F.concat(
+                F.lit(
+                    f"assemble_multiline: segment exceeds {max_lines} lines "
+                    "(head_regex likely never matches this source); n="
+                ),
+                n.cast("string"),
+            ),
+        )
+        # guard on the LEFT of the tying add (null-short-circuit rule)
+        n = F.coalesce(guard.cast("long"), F.lit(0)) + n
+    return grouped.select(
+        F.col(source_col),
+        F.col("_seg").alias("seg_idx"),
+        (F.col("_seg") > 0).alias("has_head"),
+        n.alias("n_lines"),
+        F.array_join(
+            F.transform(F.col("_lines"), lambda x: x["l"]), "\n"
+        ).alias(out_col),
+    )

@@ -866,3 +866,57 @@ def test_lexical_group_count_guards_java_only_patterns():
         grok_to_regex(
             "%{BADPOSS:f}", pattern_definitions={"BADPOSS": r"(a*+)b"}
         )
+
+
+# ---------------------------------------------------------------------------
+# assemble_multiline
+# ---------------------------------------------------------------------------
+
+from fluent_plugin_record_reformer_spark.operators.parse import (  # noqa: E402
+    assemble_multiline,
+)
+
+
+def test_assemble_multiline_blocks_and_orphans(spark):
+    rows = [
+        # src a: orphan continuation BEFORE the first head, then 2 blocks
+        ("a", 0, "\tat orphan.frame"),
+        ("a", 1, "ERR one"),
+        ("a", 2, "\tat f1"),
+        ("a", 3, "\tat f2"),
+        ("a", 4, "ERR two"),
+        # src b: single head-only record
+        ("b", 0, "ERR solo"),
+    ]
+    df = spark.createDataFrame(rows, "src string, ord long, line string")
+    got = {
+        (r["src"], r["seg_idx"]): (r["has_head"], r["n_lines"], r["message"])
+        for r in assemble_multiline(
+            df, line_col="line", source_col="src", order_col="ord"
+        ).collect()
+    }
+    assert got == {
+        ("a", 0): (False, 1, "\tat orphan.frame"),
+        ("a", 1): (True, 3, "ERR one\n\tat f1\n\tat f2"),
+        ("a", 2): (True, 1, "ERR two"),
+        ("b", 1): (True, 1, "ERR solo"),
+    }
+
+
+def test_assemble_multiline_runaway_guard(spark):
+    # a source whose lines NEVER match the head regex collapses into
+    # one giant segment: the guard must fail fast in-plan
+    rows = [("a", i, "\tcontinuation forever") for i in range(50)]
+    df = spark.createDataFrame(rows, "src string, ord long, line string")
+    guarded = assemble_multiline(
+        df, line_col="line", source_col="src", order_col="ord", max_lines=10
+    )
+    with pytest.raises(Exception, match="exceeds 10 lines"):
+        guarded.collect()
+    assert (
+        assemble_multiline(
+            df, line_col="line", source_col="src", order_col="ord",
+            max_lines=None,
+        ).count()
+        == 1
+    )
