@@ -12,6 +12,8 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -262,3 +264,40 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, tmp_path):
             "applicationSideScanSizeThreshold",
             "10GB",
         )
+
+
+NEW_R5_QUERIES = [
+    "log_templates",
+    "role_tool_matrix",
+    "ip_enrich",
+    "edit_near_dup",
+    "zorder_cells",
+    "rolling_spend",
+    "incremental_agg",
+    "concurrency",
+    "trending",
+    "value_histogram",
+    "url_parse",
+    "skew_stats",
+    "mad_outliers",
+    "equi_depth",
+    "anomaly_e2e",
+    "time_weighted",
+    "incremental_dedup",
+    "multiline_logs",
+]
+
+
+@pytest.mark.parametrize("name", NEW_R5_QUERIES)
+def test_new_query_plans_stay_jvm_side(spark, name):
+    """Anti-pattern net over every query added this round: no
+    row-at-a-time Python (BatchEvalPython), no BroadcastNestedLoopJoin
+    or CartesianProduct, no SortAggregate fallback (immutable-buffer
+    trap) anywhere in the executed plan."""
+
+    df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+    assert "SortAggregate" not in plan, name
