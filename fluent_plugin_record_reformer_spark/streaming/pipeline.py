@@ -195,6 +195,15 @@ def stream_interval_join(
         )
     if tolerance_seconds < 0:
         raise ValueError(f"tolerance_seconds must be >= 0: {tolerance_seconds}")
+    shared = sorted((set(left.columns) & set(right.columns)) - {key})
+    if shared:
+        # both copies would survive into the output ambiguously; make
+        # the caller alias at construction, not at a downstream
+        # AMBIGUOUS_REFERENCE
+        raise ValueError(
+            f"stream_interval_join: column(s) {shared} exist on both "
+            "sides; alias them before joining (only the key may be shared)"
+        )
     ll = left.withWatermark(left_ts, watermark)
     rr = right.withWatermark(right_ts, watermark)
     cond = (

@@ -516,3 +516,27 @@ def test_stream_interval_join_rejects_same_ts_name(spark, tmp_path):
         stream_interval_join(
             s, s, key="k", left_ts="ts", right_ts="ts", tolerance_seconds=5
         )
+
+
+def test_stream_interval_join_rejects_shared_columns(spark, tmp_path):
+    from fluent_plugin_record_reformer_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    src = str(tmp_path / "shared")
+    spark.createDataFrame(
+        [("k1", None, "x")], "k string, a_ts timestamp, payload string"
+    ).write.parquet(src)
+    s = spark.readStream.schema(
+        "k string, a_ts timestamp, payload string"
+    ).parquet(src)
+    s2 = (
+        spark.readStream.schema("k string, a_ts timestamp, payload string")
+        .parquet(src)
+        .withColumnRenamed("a_ts", "b_ts")
+    )
+    with pytest.raises(ValueError, match="payload"):
+        stream_interval_join(
+            s, s2, key="k", left_ts="a_ts", right_ts="b_ts",
+            tolerance_seconds=5,
+        )
