@@ -720,3 +720,69 @@ def test_streaming_kmv_equals_batch_operator(spark, tmp_path, k):
         else:
             assert not r["is_exact"]
             assert r["n_kmin"] == k  # state bounded at k hashes
+
+
+def test_streaming_kmv_state_survives_checkpoint_restart(spark, tmp_path):
+    """Stop after batch 1, add batch 2, restart from the SAME
+    checkpoint: the restored k-min state must merge with the new data
+    — the final estimate equals the batch operator over the union
+    (a from-scratch recount of batch 2 alone would differ)."""
+    from fluent_plugin_record_reformer_spark.operators.sketch import (
+        kmv_distinct,
+    )
+    from fluent_plugin_record_reformer_spark.streaming.stateful import (
+        streaming_kmv_distinct,
+    )
+
+    src, ckpt = str(tmp_path / "ksrc"), str(tmp_path / "kckpt")
+    rows1 = [("a", f"k{i:02d}") for i in range(16)]
+    rows2 = [("a", f"m{i:02d}") for i in range(16)]
+    spark.createDataFrame(rows1, "grp string, key string").coalesce(
+        1
+    ).write.parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("grp string, key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sk = streaming_kmv_distinct(
+            stream, group_col="grp", value_col="key", k=4
+        )
+        out: list = []
+        q = (
+            sk.writeStream.foreachBatch(
+                lambda df, bid: out.append((bid, df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return out
+
+    first = drain()
+    assert first and first[-1][1], "no emissions in run 1"
+    spark.createDataFrame(rows2, "grp string, key string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    second = drain()
+    final = [rows for _, rows in second if rows][-1]
+    got = final[0]["approx_distinct"]
+    want = kmv_distinct(
+        spark.createDataFrame(rows1 + rows2, "grp string, key string"),
+        "key",
+        ["grp"],
+        k=4,
+    ).collect()[0]["approx_distinct"]
+    assert got == want
+    # and batch-2 alone would NOT produce this (state really carried)
+    alone = kmv_distinct(
+        spark.createDataFrame(rows2, "grp string, key string"),
+        "key",
+        ["grp"],
+        k=4,
+    ).collect()[0]["approx_distinct"]
+    assert alone != want
