@@ -376,14 +376,35 @@ def _emit_bench(result: dict) -> None:
         for k, v in result.items()
         if k not in ("query_runs", "saturated_pipeline_sec_runs")
     }
-    summary["queries"] = {q: round(t, 2) for q, t in result["queries"].items()}
     summary.pop("n_turns", None)  # in BENCH_DETAIL.json
     summary.pop("saturated_n_turns", None)
     summary["detail"] = "BENCH_DETAIL.json"
-    # compact separators: ~4 bytes/query of headroom under the driver's
-    # bounded tail capture (69 queries ~= 1.6 KB this way, ~1.9 KB with
-    # default separators — too close to the clip that nulled BENCH_r04)
-    print(json.dumps(summary, separators=(",", ":")))
+
+    # The driver records the LAST 2000 chars of output; a metric line
+    # longer than that loses its FRONT and parses as null (BENCH_r04).
+    # Degrade per-query precision, then per-query coverage, until the
+    # line provably fits — totals and the sidecar always survive.
+    # tail = the LAST 2000 chars and this line is the last output, so
+    # the line itself may use up to ~1999 incl. the newline
+    budget = 1980
+    for variant in (
+        lambda: {q: round(t, 2) for q, t in result["queries"].items()},
+        lambda: {q: round(t, 1) for q, t in result["queries"].items()},
+        lambda: dict(
+            (
+                (q, round(t, 1))
+                for q, t in sorted(
+                    result["queries"].items(), key=lambda kv: -kv[1]
+                )[:20]
+            ),
+            _dropped=len(result["queries"]) - 20,
+        ),
+    ):
+        summary["queries"] = variant()
+        line = json.dumps(summary, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+    print(line)
 
 
 if __name__ == "__main__":
