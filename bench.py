@@ -376,9 +376,19 @@ def _emit_bench(result: dict) -> None:
         for k, v in result.items()
         if k not in ("query_runs", "saturated_pipeline_sec_runs")
     }
-    summary.pop("n_turns", None)  # in BENCH_DETAIL.json
-    summary.pop("saturated_n_turns", None)
-    summary["detail"] = "BENCH_DETAIL.json"
+    # everything dropped here is preserved in BENCH_DETAIL.json; the
+    # printed line keeps the driver contract (metric/value/unit/
+    # queries/sf) plus the two throughput headlines
+    for k in (
+        "n_turns",
+        "saturated_n_turns",
+        "pipeline_sec",
+        "saturated_pipeline_sec",
+    ):
+        summary.pop(k, None)
+    for k in ("turns_per_sec", "saturated_turns_per_sec"):
+        if k in summary:
+            summary[k] = int(summary[k])
 
     # The driver records the LAST 2000 chars of output; a metric line
     # longer than that loses its FRONT and parses as null (BENCH_r04).
