@@ -2169,6 +2169,28 @@ def q_multiline_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest data-contract check (operators/curation.
+    validate_expectations): four assertions over the transcript batch
+    — role in vocabulary, non-empty text, ts inside the load window,
+    non-negative turn index — ALL evaluated as conditional sums in one
+    scan/one hash aggregate, then unpivoted to a row per rule. Null
+    verdicts count as violations (null-hostile contracts by design)."""
+    from fluent_plugin_record_reformer_spark.operators.curation import (
+        validate_expectations,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    rules = {
+        "role_in_vocab": F.col("role").isin("user", "assistant", "system"),
+        "text_nonempty": F.length("text") > 0,
+        "ts_in_window": (F.col("ts") >= F.lit("2024-01-01"))
+        & (F.col("ts") < F.lit("2025-01-01")),
+        "turn_idx_nonneg": F.col("turn_idx") >= 0,
+    }
+    return validate_expectations(t, rules)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -2262,6 +2284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_weighted": q_time_weighted,
     "incremental_dedup": q_incremental_dedup,
     "multiline_logs": q_multiline_logs,
+    "expectations": q_expectations,
 }
 
 
@@ -3660,6 +3683,29 @@ JOIN sigs sb ON sb.doc_id = p.id_old
            CAST(count(*) AS BIGINT) AS n_lines,
            string_agg(line, chr(10) ORDER BY ord) AS message
     FROM seg GROUP BY src, seg_idx
+    """,
+    "expectations": f"""
+    {TRANSCRIPTS_CTE}
+    , wide AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN role IN ('user', 'assistant', 'system')
+                 THEN 0 ELSE 1 END) AS BIGINT) AS v_role,
+        CAST(sum(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS v_text,
+        CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+                  AND ts < TIMESTAMP '2025-01-01'
+                 THEN 0 ELSE 1 END) AS BIGINT) AS v_ts,
+        CAST(sum(CASE WHEN turn_idx >= 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS v_turn
+      FROM transcripts
+    )
+    SELECT 'role_in_vocab' AS rule, v_role AS n_violations, n_rows FROM wide
+    UNION ALL
+    SELECT 'text_nonempty', v_text, n_rows FROM wide
+    UNION ALL
+    SELECT 'ts_in_window', v_ts, n_rows FROM wide
+    UNION ALL
+    SELECT 'turn_idx_nonneg', v_turn, n_rows FROM wide
     """,
 }
 

@@ -354,3 +354,49 @@ def repetition_stats(
         (F.col("n_bigrams") > 0)
         & (F.col("n_dup_bigrams") * 100 >= F.col("n_bigrams") * dup_bigram_pct),
     )
+
+
+def validate_expectations(
+    df: DataFrame,
+    rules: "dict[str, Column]",
+) -> DataFrame:
+    """Data-contract validation: one output row per rule with exact
+    violation counts — the schema/range/regex assertions a pipeline
+    runs on every ingest batch before promoting it.
+
+    ``rules`` maps rule name → a BOOLEAN Column that is true when the
+    row SATISFIES the rule (a null verdict counts as a violation —
+    null-hostile contracts are the point of validating). All rules
+    evaluate in ONE scan as conditional sums inside a single hash
+    aggregate (no per-rule pass, no driver loop); the wide one-row
+    aggregate then unpivots via ``stack`` — |rules| rows, zero extra
+    shuffles. Partial aggregation makes the scan's shuffle one row
+    per partition regardless of input size.
+    """
+    if not rules:
+        raise ValueError("validate_expectations: need at least one rule")
+    import re as _re
+
+    bad = [n for n in rules if not _re.fullmatch(r"[A-Za-z0-9_.\- ]+", n)]
+    if bad:
+        # rule names are spliced into a stack() SQL literal
+        raise ValueError(
+            f"validate_expectations: rule name(s) {bad} contain characters "
+            "outside [A-Za-z0-9_.- ]"
+        )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, cond) in enumerate(rules.items()):
+        aggs.append(
+            F.sum(
+                F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_v{i}")
+        )
+    wide = df.agg(*aggs)
+    names = list(rules)
+    pairs = ", ".join(
+        f"'{n}', _v{i}" for i, n in enumerate(names)
+    )
+    return wide.select(
+        F.expr(f"stack({len(names)}, {pairs}) AS (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    ).select("rule", "n_violations", "n_rows")

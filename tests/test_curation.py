@@ -157,3 +157,57 @@ def test_repetition_stats_known_doc(spark):
     assert not s["repetitive"]  # zero bigrams -> never flagged
     e = got["empty"]
     assert e["n_tokens"] == 0 and not e["repetitive"]
+
+
+# ---------------------------------------------------------------------------
+# validate_expectations
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+from fluent_plugin_record_reformer_spark.operators.curation import (  # noqa: E402
+    validate_expectations,
+)
+
+
+def test_validate_expectations_counts_and_null_hostility(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (-3, "b"), (None, "c")],
+        "v int, s string",
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["n_rows"])
+        for r in validate_expectations(
+            df,
+            {
+                "v_positive": F.col("v") > 0,     # -3 fails, null v fails
+                "s_present": F.col("s").isNotNull(),
+                "always": F.lit(True),
+            },
+        ).collect()
+    }
+    assert out == {
+        "v_positive": (2, 4),
+        "s_present": (1, 4),
+        "always": (0, 4),
+    }
+
+
+def test_validate_expectations_one_scan_no_python(spark):
+    df = spark.createDataFrame([(1,)], "v int")
+    plan = (
+        validate_expectations(df, {"r1": F.col("v") > 0, "r2": F.col("v") < 9})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_validate_expectations_rejects_bad_rule_names(spark):
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError, match="characters"):
+        validate_expectations(df, {"bad'name": F.lit(True)})
+    with pytest.raises(ValueError, match="at least one"):
+        validate_expectations(df, {})
