@@ -2191,6 +2191,49 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_expectations(t, rules)
 
 
+# argmax packing: (n_chars, doc_id-tiebreak) folded into ONE BIGINT so
+# the per-cluster keeper is a plain max() — a LONG agg buffer stays
+# HashAggregate, where max_by/struct-max fall back to SortAggregate.
+# Exact while n_chars * 2^40 < 2^63 and doc_id < 2^40 (both hold by
+# orders of magnitude at any document scale we target).
+_PACK = 1 << 40
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: detect (LSH) → cluster (connected
+    components) → SELECT THE SURVIVOR — per cluster keep the longest
+    document (doc_id as deterministic tiebreak), reported with member
+    counts. Keeper selection is a packed-integer argmax (one hash
+    aggregate, no per-cluster sort, no SortAggregate fallback); the
+    oracle reaches the same keeper via its recursive-CTE components +
+    a rank window."""
+    from fluent_plugin_record_reformer_spark.operators.dedup import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_dup(
+        docs, num_hashes=MINHASH_K, bands=LSH_BANDS, shingle_n=SHINGLE_N,
+        threshold=0.5,
+    )
+    clusters = dup_clusters(pairs)
+    memb = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    key = F.col("n_chars").cast("long") * F.lit(_PACK) - F.col("doc_id")
+    agg = memb.groupBy("cluster_id").agg(
+        F.max(key).alias("_k"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    # decode: n = ceil(k / PACK) (exact: k < 2^53 at our n_chars),
+    # id = n*PACK - k
+    keep_chars = F.floor((F.col("_k") + F.lit(_PACK - 1)) / F.lit(_PACK)).cast(
+        "long"
+    )
+    return agg.select(
+        "cluster_id",
+        (keep_chars * F.lit(_PACK) - F.col("_k")).alias("keep_doc"),
+        keep_chars.alias("keep_chars"),
+        "n_members",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -2285,6 +2328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "multiline_logs": q_multiline_logs,
     "expectations": q_expectations,
+    "dedup_survivors": q_dedup_survivors,
 }
 
 
@@ -2317,6 +2361,39 @@ WITH toks AS (
 ), banded AS ( {band_rows} )
 """
 
+
+# recursive-CTE connected components over the >=0.5-Jaccard LSH pairs,
+# ending in `labeled(doc_id, cluster_id)` — shared by the dup_clusters
+# and dedup_survivors oracles
+CLUSTER_CTES = (
+    "WITH RECURSIVE "
+    + _docs_dedup_ctes().split("WITH", 1)[1]
+    + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band_idx, bucket)
+  WHERE a.doc_id < b.doc_id
+), jp AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  WHERE round(len(list_intersect(sa.sset, sb.sset))::DOUBLE /
+        (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))),
+        4) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION ALL SELECT id_b AS a, id_a AS b FROM jp
+), verts AS (SELECT DISTINCT a AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v
+), labeled AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+)
+"""
+)
 
 ORACLE_MINHASH = (
     _docs_dedup_ctes()
@@ -3000,31 +3077,27 @@ FROM laid GROUP BY source, bin_id
     + agg_exact_quantiles_oracle_sql(
         "gap_s", ["role"], "gapq", qs=(0.5, 0.9, 0.99), cte=True
     ),
-    "dup_clusters": "WITH RECURSIVE "
-    + _docs_dedup_ctes().split("WITH", 1)[1]
+    "dup_clusters": CLUSTER_CTES
     + """
-, cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b USING (band_idx, bucket)
-  WHERE a.doc_id < b.doc_id
-), jp AS (
-  SELECT c.id_a, c.id_b
-  FROM cand c
-  JOIN sigs sa ON sa.doc_id = c.id_a
-  JOIN sigs sb ON sb.doc_id = c.id_b
-  WHERE round(len(list_intersect(sa.sset, sb.sset))::DOUBLE /
-        (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))),
-        4) >= 0.5
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM jp
-  UNION ALL SELECT id_b AS a, id_a AS b FROM jp
-), verts AS (SELECT DISTINCT a AS v FROM edges),
-reach AS (
-  SELECT v, v AS r FROM verts
-  UNION
-  SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v
+SELECT doc_id, cluster_id FROM labeled
+""",
+    "dedup_survivors": CLUSTER_CTES
+    + """
+, memb AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars
+  FROM labeled l JOIN documents d USING (doc_id)
+), ranked2 AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS nm
+  FROM memb
 )
-SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+SELECT cluster_id, doc_id AS keep_doc,
+       CAST(n_chars AS BIGINT) AS keep_chars,
+       CAST(nm AS BIGINT) AS n_members
+FROM ranked2 WHERE rn = 1
 """,
     "tag_expr": TRANSCRIPTS_CTE
     + """
