@@ -2234,6 +2234,60 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding click/view (last-observation-carried-forward via
+    ``last(..., ignorenulls=True)`` over the per-user event order —
+    one shuffle by user, external sort, NO self-join and no as-of
+    probe per purchase). Unattributed purchases (no touch yet) keep a
+    null source and are counted, never dropped. Output: per
+    (touch_type) attributed purchase counts + exact cents."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("touch", F.coalesce("touch", F.lit("none")))
+    )
+    return purchases.groupBy("touch").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.expr(CENTS)).alias("sum_cents"),
+    )
+
+
+SLIDING_DISTINCT_WIN_S = 6 * 3600
+SLIDING_DISTINCT_SLIDE_S = 3 * 3600
+
+
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT users (the dashboard "active users per
+    6h window, every 3h"): ``F.window`` assigns each event its two
+    covering windows, count_distinct per window runs the standard
+    two-phase expand — never a per-window self-join. The oracle
+    enumerates the covering windows by epoch arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(
+        F.col("ts"),
+        f"{SLIDING_DISTINCT_WIN_S} seconds",
+        f"{SLIDING_DISTINCT_SLIDE_S} seconds",
+    )
+    return (
+        ev.groupBy(win.alias("win"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.col("win.start").alias("window_start"), "n_users")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts": q_transcripts,
     "tag_decompose": q_tag_decompose,
@@ -2329,6 +2383,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiline_logs": q_multiline_logs,
     "expectations": q_expectations,
     "dedup_survivors": q_dedup_survivors,
+    "attribution": q_attribution,
+    "sliding_distinct": q_sliding_distinct,
 }
 
 
@@ -3081,6 +3137,35 @@ FROM laid GROUP BY source, bin_id
     + """
 SELECT doc_id, cluster_id FROM labeled
 """,
+    "attribution": f"""
+    WITH t AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                        THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'none') AS touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum({CENTS}) AS BIGINT) AS sum_cents
+    FROM t WHERE event_type = 'purchase' GROUP BY 1
+    """,
+    "sliding_distinct": f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / {SLIDING_DISTINCT_SLIDE_S}) AS BIGINT)
+               AS k0
+      FROM events
+    ), x AS (
+      SELECT user_id, k0 - s.k AS k FROM e, (VALUES (0), (1)) s(k)
+    )
+    SELECT make_timestamp(k * {SLIDING_DISTINCT_SLIDE_S} * 1000000)
+             AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM x GROUP BY 1
+    """,
     "dedup_survivors": CLUSTER_CTES
     + """
 , memb AS (
