@@ -395,8 +395,8 @@ def _emit_bench(result: dict) -> None:
     # Degrade per-query precision, then per-query coverage, until the
     # line provably fits — totals and the sidecar always survive.
     # tail = the LAST 2000 chars and this line is the last output, so
-    # the line itself may use up to ~1999 incl. the newline
-    budget = 1980
+    # the line itself may use up to 1999 plus the newline
+    budget = 1995
     for variant in (
         lambda: {q: round(t, 2) for q, t in result["queries"].items()},
         lambda: {q: round(t, 1) for q, t in result["queries"].items()},
