@@ -285,6 +285,10 @@ NEW_R5_QUERIES = [
     "time_weighted",
     "incremental_dedup",
     "multiline_logs",
+    "expectations",
+    "dedup_survivors",
+    "attribution",
+    "sliding_distinct",
 ]
 
 
