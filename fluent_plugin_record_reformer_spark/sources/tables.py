@@ -17,14 +17,39 @@ TABLES = (
 ).split()
 
 
+# Scans below this size skip the fan-out repartition in load_table:
+# tiny dimension tables (region/nation/supplier) are broadcast-join
+# fodder where an extra exchange is pure overhead. Anything bigger is
+# worth one narrow shuffle when its split count is under the core
+# count (see ensure_compute_parallelism).
+FANOUT_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(256 << 10)))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Column pruning/predicate pushdown is
     Catalyst's job — callers express filters declaratively and the
-    parquet scan shows PushedFilters/ReadSchema in explain()."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    parquet scan shows PushedFilters/ReadSchema in explain(); both
+    survive the conditional fan-out repartition (Catalyst pushes
+    Filter/Project through Repartition).
+
+    The fan-out (guide §2.2/§6): a parquet file is only splittable at
+    row-group granularity, and the testdata generator writes ONE row
+    group per table — so without intervention every scan arrives as a
+    single partition and ALL pre-exchange compute (regex parse,
+    shingle explodes, partial aggregation) runs on one core while 31
+    idle. One round-robin repartition of the (column-pruned) raw rows
+    moves that work onto every core for the price of shuffling a few
+    MB. Scale-adaptive, not local-tuned: the guard fires only when the
+    estimated split count is below the core count, so at cluster scale
+    (thousands of 128 MB-a-piece splits) it is a no-op by
+    construction."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return ensure_compute_parallelism(df, min_bytes=FANOUT_MIN_BYTES)
 
 
-def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_compute_parallelism(
+    df: DataFrame, min_partitions: int | None = None, *, min_bytes: int = 0
+) -> DataFrame:
     """Round-robin repartition iff the plan has fewer partitions than the
     cluster has cores.
 
@@ -35,14 +60,23 @@ def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None)
     partition and one task hashes every row (measured 110s -> 4s at
     sf0.1). At 100 TB inputs naturally split; this guard only fires on
     small/skewed-split inputs, costing one narrow shuffle of the raw
-    rows."""
+    rows.
+
+    ``min_bytes`` (when the input size is locally stattable) skips the
+    repartition for inputs smaller than the threshold — tiny dimension
+    tables gain nothing from 32 partitions and would pay a pointless
+    exchange in front of their broadcast."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    est = _estimated_scan_splits(df)
-    if est is None:
+    stats = _estimated_scan_stats(df)
+    if stats is None:
         # derived frame / remote files: fall back to real partition
         # count (forces plan->RDD conversion — acceptable off the
         # repeatedly-called scan path)
         est = df.rdd.getNumPartitions()
+    else:
+        est, total_bytes = stats
+        if total_bytes < min_bytes:
+            return df
     if est < target:
         return df.repartition(target)
     return df
@@ -75,10 +109,10 @@ def _parse_byte_string(raw: str, default: int = 134217728) -> int:
     return int(m.group(1)) * mult
 
 
-def _estimated_scan_splits(df: DataFrame) -> int | None:
-    """Split-count estimate from the scan's input files — pure driver
-    metadata, no plan->RDD conversion. None when the frame has no
-    file inputs or sizes aren't locally stattable."""
+def _estimated_scan_stats(df: DataFrame) -> tuple[int, int] | None:
+    """(split-count estimate, total bytes) from the scan's input files
+    — pure driver metadata, no plan->RDD conversion. None when the
+    frame has no file inputs or sizes aren't locally stattable."""
     import math
 
     try:
@@ -90,15 +124,24 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     max_bytes = _parse_byte_string(str(raw))
     est = 0
+    total = 0
     for f in files:
         path = f[len("file:"):] if f.startswith("file:") else f
         if "://" in path:
             return None  # remote FS: don't guess
         try:
-            est += max(1, math.ceil(os.path.getsize(path) / max_bytes))
+            size = os.path.getsize(path)
         except OSError:
             return None
-    return est
+        est += max(1, math.ceil(size / max_bytes))
+        total += size
+    return est, total
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Back-compat shim over :func:`_estimated_scan_stats`."""
+    stats = _estimated_scan_stats(df)
+    return None if stats is None else stats[0]
 
 
 def write_bucketed(

@@ -129,8 +129,16 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
 
     Scale note: the window partitions by user_id (conversation) — the
     same key the downstream groupBys use, so at cluster scale this is
-    ONE shuffle reused across stages.
+    ONE shuffle reused across stages. The explicit repartition below
+    pre-establishes exactly that partitioning (guide §2.4): the window
+    then needs NO exchange of its own, and any round-robin fan-out the
+    scan layer added (load_table on a one-row-group file) collapses
+    into this one hash exchange (CollapseRepartition) — so the heavy
+    per-row projections (format_string text render) always run at full
+    parallelism for the price of the single shuffle the window always
+    paid.
     """
+    events = events.repartition(F.col("user_id"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
         F.format_string("conv-%04d", F.col("user_id")).alias("conv_id"),
