@@ -288,7 +288,7 @@ def q_python_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic rollup on the raw events stream (scan → agg pushdown)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     return ev.groupBy(
         "event_type", F.hour("ts").cast("int").alias("hour")
     ).agg(
@@ -318,7 +318,7 @@ def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic). The batch mirror of the streaming watermarked
     windowed counts; window boundaries are epoch-aligned in the UTC
     session on both engines."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     w = F.window("ts", "6 hours", "3 hours")
     return (
         ev.groupBy(w.alias("w"), "event_type")
@@ -361,7 +361,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the continuous-aggregate ladder a time-series store materializes,
     here as one partial-aggregated plan. Level is indicated by the
     null pattern (the grouping columns themselves are never null)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     d = ev.select(
         F.col("event_type").alias("etype"),
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -418,7 +418,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on full text; keeper = min doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     return docs.groupBy("text").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
@@ -584,11 +584,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: segment customers x orders x lineitem, top-10
     orders by exact decimal revenue (broadcastable dims, ordered limit)."""
-    cust = load_table(spark, sf_dir, "customer").filter(
+    cust = load_table(spark, sf_dir, "customer", fanout=False).filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders", fanout=False)
+    li = load_table(spark, sf_dir, "lineitem", fanout=False)
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1317,7 +1317,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: sign-bit LSH bucket pair-gen (flood
     cap mirrored in the oracle) + exact cosine >= 0.2 verification."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fanout=False)
     return embedding_near_dup(emb, threshold=0.2, planes=8, max_bucket=128)
 
 
@@ -1427,7 +1427,7 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-aggregated groupBy to hourly counts
     (output rows = types x hours, tiny), per-type stats over THAT
     (tinier), broadcast back. The raw table is touched once."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -1463,7 +1463,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate on user_id (co-partitioned, partial agg); the
     cohort join is a same-key shuffle join; the final cell agg is over
     user-days, already orders of magnitude below raw events."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     days = ev.select(
         "user_id", F.to_date("ts").alias("d")
     ).distinct()
@@ -1493,7 +1493,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         transition_matrix,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     return transition_matrix(
         ev,
         key_col="user_id",
@@ -1565,7 +1565,7 @@ def q_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         dense_counts,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     return dense_counts(
         ev, ["event_type"], "ts", bucket_seconds=DENSE_BUCKET_S
     )
@@ -1633,7 +1633,7 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_join,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     facts = ev.select(
         "event_id", "event_type", F.to_date("ts").alias("d")
     )
@@ -1808,7 +1808,7 @@ def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct slugs, so exactness has nothing to hide behind."""
     from fluent_plugin_record_reformer_spark.operators.dedup import edit1_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     slugs = docs.select(
         F.substring(F.col("text"), 1, EDIT1_SLUG_LEN).alias("slug")
     )
@@ -1827,7 +1827,7 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     event counts, pure codegen'd integer ops on each side."""
     from fluent_plugin_record_reformer_spark.operators.layout import zvalue
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     z = zvalue(
         F.pmod(F.col("user_id"), F.lit(256)),
         F.hour(F.col("ts")),
@@ -1856,7 +1856,7 @@ def q_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_sum,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", fanout=False).select(
         "event_id", "user_id", "ts", F.expr(CENTS).alias("cents")
     )
     return rolling_sum(
@@ -1882,7 +1882,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_summaries,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     cut = F.lit(INCR_CUTOFF).cast("timestamp")
 
     def summarize(part: DataFrame) -> DataFrame:
@@ -1934,7 +1934,7 @@ def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     never raw events (the only correct place for a lag window at
     100 TB). First day per type keeps a null prev (nothing to compare
     against), exactly as the oracle's LAG does."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     # day as STRING on both engines: a DATE column round-trips to
     # pandas as date (Spark) vs midnight Timestamp (DuckDB) and would
     # hash differently at the driver
@@ -1949,7 +1949,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram: exact integer bin ids from one codegen'd
     floor-divide (identical IEEE arithmetic both engines), counts and
     exact-cents mass per bin — a single partial-aggregated groupBy."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     bin_ = F.floor(F.col("value") / F.lit(25.0)).cast("long")
     return (
         ev.groupBy(bin_.alias("bin"))
@@ -1998,7 +1998,7 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_quantiles,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     counts = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
@@ -2090,7 +2090,7 @@ def q_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_weighted_sums,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", fanout=False).select(
         "event_type", "ts", "event_id", F.expr(CENTS).alias("cents")
     )
     return time_weighted_sums(
@@ -2242,7 +2242,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe per purchase). Unattributed purchases (no touch yet) keep a
     null source and are counted, never dropped. Output: per
     (touch_type) attributed purchase counts + exact cents."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

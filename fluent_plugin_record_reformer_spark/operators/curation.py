@@ -300,11 +300,20 @@ def repetition_stats(
     All outputs cross the oracle boundary as EXACT integers (totals and
     duplicated-occurrence counts per n; the ``repetitive`` flag is an
     integer cross-multiplication ``dup*100 >= tot*pct``), never rounded
-    floats. One scan, ONE tagged explode for all three n (the gram
-    arrays are interpreted-but-cheap expressions, the counting is
-    codegen'd partial aggregation — the dedup.py lesson), then two
-    partial-aggregated groupBys; zero-token docs survive via
-    explode_outer."""
+    floats.
+
+    Round-6 shape: ZERO shuffles. The output is one row per input row,
+    and every count depends only on that row's own grams — so instead
+    of the r5 tagged explode + two groupBys (which shuffled ~3x the
+    token volume as gram strings twice), each document counts its own
+    duplicates in a projection: sort the gram array, then an
+    occurrence is duplicated iff it equals a sorted neighbor, so
+    ``dup = T - #singletons`` with a singleton being an element equal
+    to NEITHER neighbor. Exact string equality (no hashing), identical
+    counts by construction: T = Σ c_g, singletons contribute c=1, so
+    T - #singletons = Σ_{c_g>1} c_g — the old explode-and-count
+    definition. The plan is Scan -> Project: embarrassingly parallel
+    at any scale, nothing crosses the wire."""
     from ..functions.text import word_tokens
 
     def grams(toks: Column, n: int) -> Column:
@@ -316,38 +325,50 @@ def repetition_stats(
             F.array().cast("array<string>")
         )
 
+    def dup_count(sorted_col: str) -> Column:
+        """Duplicated-occurrence count over a SORTED gram array column:
+        T minus the number of elements equal to neither neighbor.
+        Takes a column NAME on purpose — an attribute reference is
+        evaluated once per row, where an inline array_sort expression
+        tree would be re-evaluated at every element_at site (the
+        staging discipline of _regex_parse_single_pass)."""
+        srt = F.col(sorted_col)
+        t = F.size(srt)
+        singletons = F.size(
+            F.filter(
+                F.sequence(F.lit(1), t),
+                lambda i: (
+                    (i == F.lit(1))
+                    | (F.element_at(srt, i) != F.element_at(srt, i - 1))
+                )
+                & ((i == t) | (F.element_at(srt, i) != F.element_at(srt, i + 1))),
+            )
+        )
+        # empty array: sequence(1,0) is [1,0]-descending in Spark —
+        # guard explicitly rather than rely on it
+        return F.when(t > 0, (t - singletons).cast("long")).otherwise(F.lit(0).cast("long"))
+
     base = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_t"))
-
-    # single-arg closure, NOT `lambda g, n=n`: transform() treats a
-    # two-parameter lambda as (element, index) and would bind the array
-    # INDEX to n, silently mis-tagging every gram
-    def tag(n: int):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
-
-    tagged = F.concat(*[F.transform(grams(F.col("_t"), n), tag(n)) for n in (1, 2, 3)])
-    ex = base.select(
-        F.col(id_col), F.explode_outer(tagged).alias("_p")
-    ).select(id_col, F.col("_p.n").alias("_n"), F.col("_p.g").alias("_g"))
-    cnt = ex.groupBy(id_col, "_n", "_g").agg(F.count(F.lit(1)).alias("_c"))
-    per_n = cnt.groupBy(id_col, "_n").agg(
-        F.sum(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0)).alias("_tot"),
-        F.sum(
-            F.when(F.col("_g").isNotNull() & (F.col("_c") > 1), F.col("_c")).otherwise(0)
-        ).alias("_dup"),
+    # each stage its own projection: gram arrays, then their sorts,
+    # then the counts — CollapseProject keeps multiply-referenced
+    # non-cheap aliases staged instead of inlining them per use site
+    staged = base.select(
+        F.col(id_col),
+        *[grams(F.col("_t"), n).alias(f"_g{n}") for n in (1, 2, 3)],
     )
-
-    def pick(n: int, col: str, alias: str) -> Column:
-        return F.coalesce(
-            F.sum(F.when(F.col("_n") == n, F.col(col))), F.lit(0)
-        ).cast("long").alias(alias)
-
-    out = per_n.groupBy(id_col).agg(
-        pick(1, "_tot", "n_tokens"),
-        pick(1, "_dup", "n_dup_tokens"),
-        pick(2, "_tot", "n_bigrams"),
-        pick(2, "_dup", "n_dup_bigrams"),
-        pick(3, "_tot", "n_trigrams"),
-        pick(3, "_dup", "n_dup_trigrams"),
+    sorted_stage = staged.select(
+        F.col(id_col),
+        *[F.size(f"_g{n}").cast("long").alias(f"_t{n}") for n in (1, 2, 3)],
+        *[F.array_sort(f"_g{n}").alias(f"_s{n}") for n in (1, 2, 3)],
+    )
+    out = sorted_stage.select(
+        F.col(id_col),
+        F.col("_t1").alias("n_tokens"),
+        dup_count("_s1").alias("n_dup_tokens"),
+        F.col("_t2").alias("n_bigrams"),
+        dup_count("_s2").alias("n_dup_bigrams"),
+        F.col("_t3").alias("n_trigrams"),
+        dup_count("_s3").alias("n_dup_trigrams"),
     )
     return out.withColumn(
         "repetitive",

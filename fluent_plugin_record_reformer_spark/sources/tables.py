@@ -25,7 +25,9 @@ TABLES = (
 FANOUT_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(256 << 10)))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool = True
+) -> DataFrame:
     """Load one testdata table. Column pruning/predicate pushdown is
     Catalyst's job — callers express filters declaratively and the
     parquet scan shows PushedFilters/ReadSchema in explain(); both
@@ -42,8 +44,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     MB. Scale-adaptive, not local-tuned: the guard fires only when the
     estimated split count is below the core count, so at cluster scale
     (thousands of 128 MB-a-piece splits) it is a no-op by
-    construction."""
+    construction.
+
+    ``fanout=False`` opts a call site out. The measured rule (A/B'd
+    per query, OPTIMIZATION_r06.md): keep the fan-out wherever heavy
+    per-row work (regex parse, shingle/gram building, vector math)
+    sits BEFORE the query's first natural exchange; skip it where the
+    first operation is itself an aggregation/join/window whose
+    map-side partial agg or key exchange already collapses or
+    redistributes the rows — there the extra shuffle is pure tax."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if not fanout:
+        return df
     return ensure_compute_parallelism(df, min_bytes=FANOUT_MIN_BYTES)
 
 
