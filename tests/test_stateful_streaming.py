@@ -533,7 +533,6 @@ def test_top_talkers_error_bound_across_kill(spark, tmp_path):
     import glob as globmod
     import os
     import shutil
-    import time
     from collections import Counter
 
     from fluent_plugin_record_reformer_spark.streaming.stateful import (
@@ -556,7 +555,15 @@ def test_top_talkers_error_bound_across_kill(spark, tmp_path):
         df.filter(F.crc32(F.concat("grp", "key")) % 3 == i).coalesce(1).write.parquet(
             staging
         )
-        shutil.move(globmod.glob(f"{staging}/part-*.parquet")[0], f"{src}/s{i}.parquet")
+        # stage file 0 only; s1/s2 appear between the two runs so the
+        # pre-kill batch count is DETERMINISTIC (r5 verdict #2: the
+        # old stop-after->=1-commit harness raced under full-suite
+        # load — the stop could land after 1..3 commits, so the fixed
+        # last-bid assertion flaked)
+        if i == 0:
+            shutil.move(
+                globmod.glob(f"{staging}/part-*.parquet")[0], f"{src}/s{i}.parquet"
+            )
 
     raw = (
         spark.readStream.schema("grp string, key string")
@@ -567,8 +574,8 @@ def test_top_talkers_error_bound_across_kill(spark, tmp_path):
     def sink(batch_df, bid):
         batch_df.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(out)
 
-    def make_query(stream, trigger_now=False):
-        w = (
+    def make_query(stream):
+        return (
             streaming_top_talkers(
                 stream, group_col="grp", key_col="key", k=8,
                 capacity=6, capacity_by_group={"b": 64},
@@ -576,33 +583,32 @@ def test_top_talkers_error_bound_across_kill(spark, tmp_path):
             .writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        if trigger_now:
-            w = w.trigger(availableNow=True)
-        return w.start()
 
+    # run 1: drains exactly the one staged file, then terminates —
+    # its batch count no longer depends on scheduler timing
     q = make_query(raw)
-    commits = os.path.join(ckpt, "commits")
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        done = [
-            f
-            for f in (os.listdir(commits) if os.path.isdir(commits) else [])
-            if not f.endswith(".tmp")
-        ]
-        if len(done) >= 1:
-            break
-        time.sleep(0.1)
-    else:
-        raise AssertionError("no micro-batch committed within deadline")
-    q.stop()
+    assert q.awaitTermination(180), "first run did not drain"
+    pre_kill_max = (
+        spark.read.parquet(out).agg(F.max("_bid")).collect()[0][0]
+    )
 
-    q2 = make_query(raw, trigger_now=True)
+    # the remaining two files land only now; the restarted query must
+    # restore summary state from the checkpoint to count them on top
+    for i in (1, 2):
+        staging = str(tmp_path / f"stage{i}")
+        shutil.move(
+            globmod.glob(f"{staging}/part-*.parquet")[0], f"{src}/s{i}.parquet"
+        )
+
+    q2 = make_query(raw)
     assert q2.awaitTermination(180), "restarted query did not drain"
 
     got = spark.read.parquet(out)
     last_bid = got.agg(F.max("_bid")).collect()[0][0]
-    assert last_bid >= 2, "restore must have processed post-kill batches"
+    assert last_bid > pre_kill_max, "restore must have processed post-kill batches"
     final = got.filter(F.col("_bid") == last_bid).collect()
     assert final, "no final emissions"
     for r in final:
