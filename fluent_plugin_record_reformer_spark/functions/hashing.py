@@ -50,11 +50,19 @@ def seeded_hash60(col: Column | str, seed: int) -> Column:
     is a valid min-hash), and a LONG min/max buffer is mutable, so
     aggregations over it plan HashAggregate instead of the
     immutable-string-buffer SortAggregate fallback.
+
+    NULL input hashes to NULL (ADVICE r5): Spark's concat_ws skips
+    NULL arguments, so without the explicit guard a NULL key would
+    hash to the constant md5 of the seed alone and could pass a
+    sampling gate — while the DuckDB mirror's ``||`` concatenation
+    yields NULL and the row is dropped by WHERE. Pinning NULL -> NULL
+    makes both engines drop the row identically.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(
+    digest = F.conv(
         F.substring(seeded_md5(c.cast("string"), seed), 1, 15), 16, 10
     ).cast("long")
+    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(digest)
 
 
 def poly_fingerprint(col: Column | str) -> Column:

@@ -547,11 +547,17 @@ def assemble_multiline(
     ``has_head = false`` — surfaced, never silently dropped (the
     error-containment discipline of the parse stage, core.rb:315-319).
 
-    ``max_lines`` fail-fast guards a runaway segment (a source whose
-    head regex never matches would otherwise collapse into ONE giant
-    row — the same in-plan assert_true discipline as the bucket/span
-    guards). ``order_col`` must be a deterministic total order within
-    a source.
+    ``max_lines`` DETECTS a runaway segment (a source whose head
+    regex never matches would otherwise collapse into ONE giant row)
+    and fails the job loudly — the same in-plan assert_true
+    discipline as the bucket/span guards. Note the guard evaluates on
+    the aggregate output, i.e. AFTER collect_list has materialized
+    the segment array (ADVICE r5): it surfaces the condition before
+    any downstream consumer sees the row, but does not prevent the
+    aggregation buffer itself from growing; callers whose sources can
+    legitimately exceed the cap should pre-filter instead of relying
+    on this guard as memory protection. ``order_col`` must be a
+    deterministic total order within a source.
     """
     from pyspark.sql import Window
 

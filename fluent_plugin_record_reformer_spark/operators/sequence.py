@@ -230,6 +230,15 @@ def interval_concurrency(
         distributed_running_sum,
     )
 
+    # Drop intervals with a NULL boundary BEFORE the delta union
+    # (ADVICE r5): filtering null boundary rows individually after the
+    # union would let a non-null start with a null end contribute a +1
+    # with no matching -1, permanently inflating the curve and
+    # breaking the every-(+1)-meets-its-(-1) invariant the docstring
+    # promises.
+    intervals = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
     starts = intervals.select(
         F.col(group_col), F.col(start_col).alias("_t"), F.lit(1).alias("_d")
     )
@@ -238,7 +247,6 @@ def interval_concurrency(
     )
     deltas = (
         starts.unionByName(ends)
-        .filter(F.col("_t").isNotNull())
         .groupBy(group_col, "_t")
         .agg(F.sum("_d").alias("_net"))
     )

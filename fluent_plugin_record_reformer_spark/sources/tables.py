@@ -229,7 +229,12 @@ def compact_parquet(
     import glob as globmod
     import math
 
-    files = globmod.glob(os.path.join(src_dir, "*.parquet"))
+    # recursive: partitioned / per-route fan-out layouts (the
+    # docstring's own motivating case) nest part files under
+    # key=value or batch subdirectories — a top-level-only glob would
+    # refuse directories spark.read.parquet(src_dir) reads fine
+    # (ADVICE r5).
+    files = globmod.glob(os.path.join(src_dir, "**", "*.parquet"), recursive=True)
     if not files:
         raise ValueError(f"compact_parquet: no parquet files in {src_dir}")
     total = sum(os.path.getsize(f) for f in files)
