@@ -475,16 +475,16 @@ def grok_parse(
     numbering contract of ``single_pass`` always holds here.
 
     ``single_pass=None`` (default) resolves automatically: single-pass
-    for composites with >= 4 fields (where one regex evaluation per
-    row clearly beats K — apache_logs measured 2.47 -> 1.45 s at
-    sf0.1), per-field below that (A/B on the saturated 3-field e2e
-    pipeline: 0.99 vs 0.94 s best-of-5 interleaved at 8 cores —
-    parity within host noise, so the bit-equivalent path wins).
-    Explicit True/False overrides; see regex_parse for the separator
-    caveat on pathological inputs."""
+    for composites with >= 3 fields (one regex evaluation per row
+    beats K — apache_logs measured 2.47 -> 1.45 s at sf0.1; the r6
+    re-A/B of the 3-field pipeline pattern at a 10x replica measured
+    0.92 -> 0.70 s best-of-4 with exceptAll parity 0, so the
+    crossover moved down from the r5 threshold of 4), per-field below
+    that. Explicit True/False overrides; see regex_parse for the
+    separator caveat on pathological inputs."""
     pattern, fields = grok_to_regex(grok, pattern_definitions)
     if single_pass is None:
-        single_pass = len(fields) >= 4
+        single_pass = len(fields) >= 3
     return regex_parse(
         df, pattern, source_col=source_col, fields=fields, types=types,
         drop_source=drop_source, single_pass=single_pass,

@@ -804,25 +804,26 @@ def test_funnel_hot_user_guard(spark):
 
 
 def test_grok_single_pass_auto_default(spark):
-    """The shipped default (VERDICT r4 #7): grok composites with >= 4
-    fields auto-route to the single-pass extractor (ONE regexp_replace
-    in the plan), < 4 fields stay on the bit-equivalent per-field path
-    (K regexp_extract, zero regexp_replace)."""
+    """The shipped default (VERDICT r4 #7, threshold re-A/B'd down in
+    r6): grok composites with >= 3 fields auto-route to the
+    single-pass extractor (ONE regexp_replace in the plan), < 3
+    fields stay on the bit-equivalent per-field path (K
+    regexp_extract, zero regexp_replace)."""
     from fluent_plugin_record_reformer_spark.operators.parse import grok_parse
 
     df = spark.createDataFrame([("a b c d",)], "text string")
-    wide = grok_parse(df, "%{WORD:a} %{WORD:b} %{WORD:c} %{WORD:d}")
-    narrow = grok_parse(df, "%{WORD:a} %{WORD:b} %{WORD:c}")
+    wide = grok_parse(df, "%{WORD:a} %{WORD:b} %{WORD:c}")
+    narrow = grok_parse(df, "%{WORD:a} %{WORD:b}")
     wide_plan = wide._jdf.queryExecution().executedPlan().toString()
     narrow_plan = narrow._jdf.queryExecution().executedPlan().toString()
     assert wide_plan.count("regexp_replace") == 1
     assert "regexp_extract" not in wide_plan
     # each field prints regexp_extract twice (""-check + value)
-    assert narrow_plan.count("regexp_extract") == 6
+    assert narrow_plan.count("regexp_extract") == 4
     assert "regexp_replace" not in narrow_plan
     # both parse correctly
-    assert wide.collect()[0]["d"] == "d"
-    assert narrow.collect()[0]["c"] == "c"
+    assert wide.collect()[0]["c"] == "c"
+    assert narrow.collect()[0]["b"] == "b"
 
 
 def test_single_pass_separator_bearing_line_nulls_not_garbage(spark):
