@@ -120,7 +120,11 @@ def cooccurrence_edges(
     are dropped — they only feed a node's rank back to itself.
 
     One staged tokenization, one ``explode(sequence(...))`` of
-    POSITIONS (pure codegen — no pair-building HOF), one partial-
+    POSITIONS (pure codegen — no pair-building HOF), then one more
+    2-element explode that emits BOTH directions of each adjacency in
+    the same pass (r6: the former two-branch union re-ran the
+    tokenize+position-explode subtree once per direction — no
+    exchange sits below a union, so nothing was reused), one partial-
     aggregated groupBy. Documents with fewer than 2 tokens contribute
     nothing.
     """
@@ -137,9 +141,14 @@ def cooccurrence_edges(
         F.element_at("_toks", F.col("_i")).alias("_a"),
         F.element_at("_toks", F.col("_i") + 1).alias("_b"),
     ).filter(F.col("_a") != F.col("_b"))
-    directed = pairs.union(
-        pairs.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_a").alias("s"), F.col("_b").alias("d")),
+                F.struct(F.col("_b").alias("s"), F.col("_a").alias("d")),
+            )
+        ).alias("_e")
     )
     return directed.groupBy(
-        F.col("_a").alias("src"), F.col("_b").alias("dst")
+        F.col("_e.s").alias("src"), F.col("_e.d").alias("dst")
     ).agg(F.count(F.lit(1)).alias("weight"))
