@@ -2022,11 +2022,17 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad_outliers,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", fanout=False).select(
         "event_id", "event_type", F.expr(CENTS).alias("cents")
     )
+    # cents of a bounded price column = bounded integer domain, so the
+    # histogram-median path applies: both exact medians come from
+    # |groups| x |distinct cents| histogram rows (map-side collapsed),
+    # zero full-row range shuffles (guide §2.3/§8; identical output,
+    # pinned by test_mad_histogram_path_equals_chunked)
     return mad_outliers(
-        ev, value_col="cents", group_cols=["event_type"], k=3
+        ev, value_col="cents", group_cols=["event_type"], k=3,
+        low_cardinality=True,
     )
 
 

@@ -396,6 +396,40 @@ def merge_summaries(
     return unioned.groupBy(*keys).agg(*aggs)
 
 
+def _histogram_median(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, out_name: str
+) -> DataFrame:
+    """Exact per-group median via a VALUE HISTOGRAM — the low-
+    cardinality sibling of the chunked-rank order statistic.
+
+    ``groupBy(group, value).count()`` collapses the input map-side to
+    |groups| x |distinct values| rows (guide §2.3: shuffle metadata,
+    not payloads), then a cumulative count over the tiny histogram
+    picks the smallest value whose running count reaches rank
+    ceil(n/2) — the SAME rank-⌈n/2⌉ rule as exact_quantiles, so the
+    selected value is identical bit-for-bit. The per-group window
+    runs over histogram rows, not data rows: bounded by the value
+    domain (the caller's contract), independent of row count.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_hc"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_hcum", F.sum("_hc").over(w)).withColumn(
+        "_hn", F.sum("_hc").over(Window.partitionBy(*group_cols))
+    )
+    half = F.ceil(F.lit(0.5) * F.col("_hn")).cast("long")
+    return (
+        cum.filter(F.col("_hcum") >= half)
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias(out_name))
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     *,
@@ -404,6 +438,7 @@ def mad_outliers(
     k: int = 3,
     out_col: str = "is_outlier",
     broadcast_offsets: bool = True,
+    low_cardinality: bool = False,
 ) -> DataFrame:
     """Robust outlier flags via the median-absolute-deviation rule:
     a row is an outlier when ``|x - median| > k * MAD``, where MAD is
@@ -419,8 +454,8 @@ def mad_outliers(
     deviations stay integers, and the flag comparison is pure integer
     arithmetic — so the oracle reproduces every flag bit-for-bit.
 
-    Scale shape: two chunked rank passes (the honest cost of two
-    exact medians), each a single scan — the MAD pass's range
+    Scale shape (default): two chunked rank passes (the honest cost
+    of two exact medians), each a single scan — the MAD pass's range
     exchange is REUSED as the output row stream (its rank branch and
     the emitted rows share one physical shuffle; same-subtree
     ReusedExchange, the distributed_running_sum discipline), so the
@@ -428,8 +463,39 @@ def mad_outliers(
     and two broadcast joins of |groups|-row frames. Rows whose
     ``value_col`` is NULL are excluded (they carry no order — the
     same contract as exact_quantiles).
+
+    ``low_cardinality=True`` (r6): when the caller KNOWS the value
+    domain is bounded (integer cents of bounded prices, small-range
+    counts — guide §8's "use what you know that the optimizer does
+    not"), both medians come from :func:`_histogram_median` instead:
+    map-side partial aggregation collapses each pass to |groups| x
+    |distinct values| histogram rows, no repartitionByRange, no
+    sampling job, no full-row sort — the rows themselves only ever
+    cross the wire zero times (flags are a projection over the input
+    joined to two broadcast medians). Identical output by
+    construction: same rank-⌈n/2⌉ rule, same column order. Do NOT set
+    it for unbounded/continuous domains — the histogram would
+    approach |rows| and the chunked-rank path wins.
     """
     base = df.filter(F.col(value_col).isNotNull())
+    if low_cardinality:
+        med = _histogram_median(
+            base.select(*group_cols, value_col), group_cols, value_col, "_med"
+        )
+        med = F.broadcast(med) if broadcast_offsets else med
+        with_dev = base.join(med, list(group_cols)).withColumn(
+            "_absdev", F.abs(F.col(value_col) - F.col("_med"))
+        )
+        mad = _histogram_median(
+            with_dev.select(*group_cols, "_absdev"), group_cols, "_absdev", "_mad"
+        )
+        mad = F.broadcast(mad) if broadcast_offsets else mad
+        return (
+            with_dev.join(mad, list(group_cols))
+            .withColumn(out_col, F.col("_absdev") > F.lit(int(k)) * F.col("_mad"))
+            .withColumnsRenamed({"_med": "group_median", "_mad": "group_mad"})
+            .drop("_absdev")
+        )
     med = exact_quantiles(
         base.select(*group_cols, value_col),
         value_col,

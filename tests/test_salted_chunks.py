@@ -198,6 +198,33 @@ def test_mad_outliers_flags_only_the_bot(spark):
     assert flagged == {9}  # the bot, and ONLY the bot
 
 
+def test_mad_histogram_path_equals_chunked(spark):
+    """r6: the low_cardinality histogram-median path must reproduce
+    the chunked-rank path row-for-row (same rank-ceil(n/2) rule, same
+    schema/column order), on data with ties, skew, and a group whose
+    size is even — the cases where a different median rule would
+    diverge."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, g, rng.choice([90, 95, 100, 100, 102, 105, 100_000]))
+        for g in ("a", "b", "c")
+        for i in range(101 if g != "b" else 100)
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, v long")
+    a = mad_outliers(df, value_col="v", group_cols=["g"], k=3)
+    b = mad_outliers(
+        df, value_col="v", group_cols=["g"], k=3, low_cardinality=True
+    )
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and the histogram path's plan must have NO range exchange (the
+    # whole point: no full-row rank pass)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_mad_outliers_zero_mad_group(spark):
     # constant group: MAD = 0 -> any deviation is an outlier
     df = spark.createDataFrame(
