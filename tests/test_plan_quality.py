@@ -266,42 +266,53 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, tmp_path):
         )
 
 
-NEW_R5_QUERIES = [
-    "log_templates",
-    "role_tool_matrix",
-    "ip_enrich",
-    "edit_near_dup",
-    "zorder_cells",
-    "rolling_spend",
-    "incremental_agg",
-    "concurrency",
-    "trending",
-    "value_histogram",
-    "url_parse",
-    "skew_stats",
-    "mad_outliers",
-    "equi_depth",
-    "anomaly_e2e",
-    "time_weighted",
-    "incremental_dedup",
-    "multiline_logs",
-    "expectations",
-    "dedup_survivors",
-    "attribution",
-    "sliding_distinct",
-]
+# r6 (verdict #3): the net now covers EVERY registry query, not a
+# hand-kept list — any future query picks up the exclusions
+# automatically. Known-by-design exceptions are explicit per query so
+# a NEW occurrence of the pattern anywhere else still fails:
+#
+# - BroadcastNestedLoopJoin: brute-force similarity scoring joins a
+#   big side against a broadcast FEW-ROW frame with no equi-key (the
+#   k query vectors in knn_brute/knn_ivf; the single-row corpus-N
+#   aggregate in tfidf/doc_surprisal's IDF/surprisal scalar
+#   subquery). A BNLJ whose build side is k rows IS the intended
+#   plan; there is no key to hash on.
+# - SortAggregate: min(string)/min_by(string, ...) have no mutable
+#   fixed-width aggregation buffer in Spark, so the planner must
+#   sort-aggregate (scd2_dim's min(event_type) status;
+#   curation_e2e's exact-dedup keeper min_by(source, doc_id)). The
+#   sort is per-exchange-side and spillable; documented cost, not a
+#   silent fallback.
+ALLOWED = {
+    "knn_brute": {"BroadcastNestedLoopJoin"},
+    "knn_ivf": {"BroadcastNestedLoopJoin"},
+    "tfidf": {"BroadcastNestedLoopJoin"},
+    "doc_surprisal": {"BroadcastNestedLoopJoin"},
+    "scd2_dim": {"SortAggregate"},
+    "curation_e2e": {"SortAggregate"},
+}
+
+ALL_QUERIES = sorted(entrymod.QUERIES)
 
 
-@pytest.mark.parametrize("name", NEW_R5_QUERIES)
-def test_new_query_plans_stay_jvm_side(spark, name):
-    """Anti-pattern net over every query added this round: no
-    row-at-a-time Python (BatchEvalPython), no BroadcastNestedLoopJoin
-    or CartesianProduct, no SortAggregate fallback (immutable-buffer
-    trap) anywhere in the executed plan."""
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_plans_stay_jvm_side(spark, name):
+    """Anti-pattern net over every registry query: no row-at-a-time
+    Python (BatchEvalPython), no BroadcastNestedLoopJoin or
+    CartesianProduct, no SortAggregate fallback (immutable-buffer
+    trap) anywhere in the executed plan, except the per-query
+    documented allowances above. ArrowEvalPython (the vectorized
+    Python boundary) is permitted — python_expr/tag_expr/
+    media_features are exactly that surface."""
 
     df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
-    assert "CartesianProduct" not in plan, name
-    assert "SortAggregate" not in plan, name
+    allowed = ALLOWED.get(name, set())
+    for pattern in (
+        "BatchEvalPython",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "SortAggregate",
+    ):
+        if pattern not in allowed:
+            assert pattern not in plan, f"{name}: {pattern}"
