@@ -133,8 +133,15 @@ def kmv_distinct(
     hashed = df.select(*group_cols, kmv_hash(value_col).alias("_h")).filter(
         F.col("_h").isNotNull()
     )
-    est = hashed.groupBy(*group_cols).agg(
-        F.approx_count_distinct("_h").alias("_dest")
+    # HLL pre-pass over the RAW value, not the md5 (r6): the estimate
+    # only positions the pre-filter threshold, and distinct(value) ==
+    # distinct(md5(value)) for HLL purposes — so the expensive digest
+    # runs once per row (the main pass) instead of twice. The final
+    # answer is unchanged by construction for ANY threshold: either a
+    # group keeps >= k survivors (its k-mins are exact) or the lazy
+    # fallback recomputes it exactly (the guard below).
+    est = df.filter(F.col(value_col).isNotNull()).groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col).alias("_dest")
     )
     # clamp in DOUBLE before the long cast — a tiny D̂ would overflow
     # bigint otherwise (factor * k * 2^60 / 10 > Long.MAX)
