@@ -450,6 +450,15 @@ def prefix_jaccard_pairs(
             F.collect_list(F.struct(F.col("_df"), F.col("_h")))
         ).alias("_ord")
     )
+    # Materialization point: `ordered` feeds THREE consumers (the
+    # prefix explode and both join-back sides). Spark only shares
+    # work at exchange boundaries, so without this repartition each
+    # consumer re-runs the post-shuffle collect_list aggregation and
+    # per-doc sort; one extra |docs|-row shuffle of the packed arrays
+    # lets all three reuse the SAME materialized exchange instead
+    # (ReusedExchange; interleaved A/B at the 10x replica: ~10-20%
+    # off the whole query, identical output).
+    ordered = ordered.repartition(F.col(id_col))
     size = F.size("_ord").cast("long")
     # ceil(pct*size/100) in exact integers; prefix >= 1 always
     alpha = ((F.lit(pct) * size + F.lit(99)) / F.lit(100)).cast("long")
