@@ -307,7 +307,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel_stages,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     return funnel_stages(ev, ["view", "click", "purchase"])
 
 
@@ -968,7 +968,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus the miss bound proves every returned row."""
     from fluent_plugin_record_reformer_spark.operators.frequency import heavy_hitters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("token"))
     return heavy_hitters(toks, "token", k=15, capacity=2048)
 
@@ -1015,7 +1015,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_range_join,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     iv = ev.filter(
         (F.col("event_type") == "error") & (F.pmod(F.col("event_id"), F.lit(97)) == 0)
     ).select(
@@ -1146,7 +1146,7 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic doc_id order (rerun/repartition-stable)."""
     from fluent_plugin_record_reformer_spark.operators.curation import domain_quota
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     return domain_quota(docs, quota=30).select("doc_id", "source")
 
 
@@ -1158,7 +1158,7 @@ def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_budget_mix,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     kept = token_budget_mix(docs, budget=2000)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_kept"),
@@ -1196,7 +1196,7 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (predicted 'en') -> quality gate (stopword ratio) -> exact
     dedup (keeper = min doc_id) -> deterministic 50% sample -> per-
     source counts + token sums. The curation analog of pipeline_e2e."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     toks = word_tokens(F.col("text"))
     n_words = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+"), 0))
     n_stop = F.size(
@@ -1249,7 +1249,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_sequences,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     packed = pack_sequences(docs, seq_len=512)
     return packed.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1332,7 +1332,7 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_from_changelog,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     chg = (
         ev.select(
             F.pmod(F.col("user_id"), F.lit(40)).alias("entity"),
@@ -1372,7 +1372,7 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         surprisal_score,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     per_doc = surprisal_score(
         docs,
         id_cols=["doc_id", "source"],
@@ -1408,7 +1408,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfidf_topk,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     return tfidf_topk(
         docs, id_col="doc_id", text_col="text", terms=TFIDF_TERMS, k=3
     )
@@ -1535,7 +1535,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a broadcast count dim), then summarized. The checksum column
     (sum of kept event_ids) proves both engines kept EXACTLY the same
     rows, not just the same number."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     kept = stratified_sample(
         ev,
         "event_id",
@@ -1610,7 +1610,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         inverted_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     return inverted_index(
         docs, id_col="doc_id", text_col="text", max_postings=INVIDX_POSTINGS
     )
@@ -1695,7 +1695,7 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     edges = cooccurrence_edges(docs, text_col="text", tokenize=word_tokens)
     ranked = pagerank(
         edges,
@@ -2050,7 +2050,7 @@ def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         equi_depth_bins,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", fanout=False).select(
         "event_type", F.expr(CENTS).alias("cents")
     )
     return equi_depth_bins(
@@ -2281,7 +2281,7 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     covering windows, count_distinct per window runs the standard
     two-phase expand — never a per-window self-join. The oracle
     enumerates the covering windows by epoch arithmetic."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=False)
     win = F.window(
         F.col("ts"),
         f"{SLIDING_DISTINCT_WIN_S} seconds",
