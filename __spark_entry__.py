@@ -1228,7 +1228,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-invariant row selection)."""
     from fluent_plugin_record_reformer_spark.operators.sketch import weighted_sample
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     rate = (
         F.when(F.col("source") == "src0", F.lit(0.5))
         .when(F.col("source") == "src1", F.lit(0.25))
@@ -1586,7 +1586,7 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_reservoir,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
     kept = grouped_reservoir(
         docs.select("doc_id", "lang", "source", "n_chars"),
         ["source"],
