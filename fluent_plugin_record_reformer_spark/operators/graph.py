@@ -26,6 +26,7 @@ driver-side convergence loop, so the whole ladder is one lazy plan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as SqlWindow
 from pyspark.sql import functions as F
 
 
@@ -74,15 +75,30 @@ def pagerank(
         F.col(dst_col).alias("_dst"),
         (F.coalesce(guard.cast("long"), F.lit(0)) + w).alias("_w"),
     )
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .union(e.select(F.col("_dst").alias("node")))
-        .distinct()
+    # The edge frame feeds several consumers, and Catalyst's column
+    # pruning used to hand each one a DIFFERENT canonical subtree
+    # (src-only, dst-only, src+weight, all three), so exchange reuse
+    # never fired below them and the whole upstream edge build — for
+    # TextRank: tokenize + position explode + the co-occurrence agg —
+    # executed once PER CONSUMER (4x; 5 input scans / 20 regexp sites
+    # in the executed plan). Round-6 shape cuts the builds to 2:
+    # - ``nodes`` comes from ONE branch via explode(array(src, dst))
+    #   instead of a two-branch union (halves its share);
+    # - per-source total out-weight is a window sum over _src instead
+    #   of a groupBy + self-join — no join, and the window's hash
+    #   exchange on _src is exactly the layout every iteration's
+    #   ranks-join needs, so it is materialized once and ReusedExchange'd
+    #   by all iterations (executed plan: 2 scans / 8 regexp sites;
+    #   interleaved A/B sf0.1 2.05→0.88 s, 10x replica 4.79→2.80 s).
+    # Same-key skew profile as the old join (a high-out-degree source
+    # collocates its edges under either shape); int64 sums are
+    # order-free so the window is bit-identical to the joined agg.
+    nodes = e.select(
+        F.explode(F.array("_src", "_dst")).alias("node")
+    ).distinct()
+    ew = e.withColumn(
+        "_wt", F.sum("_w").over(SqlWindow.partitionBy("_src"))
     )
-    wout = e.groupBy("_src").agg(F.sum("_w").alias("_wt"))
-    # per-edge out-weight joined ONCE; every iteration reuses this
-    # exchange subtree (identical canonical plan -> ReusedExchange)
-    ew = e.join(wout, on="_src")
     base = (scale * (100 - damping_pct)) // 100
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
     for _ in range(iterations):

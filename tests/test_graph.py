@@ -100,3 +100,58 @@ def test_pagerank_rejects_nonpositive_weights_in_plan(spark):
     with pytest.raises(Exception) as ei2:
         pagerank(null_w, iterations=1).collect()
     assert "weight" in str(ei2.value)
+
+
+def test_pagerank_window_outweight_matches_joined_agg(spark):
+    # r6: per-source total out-weight moved from groupBy+self-join to a
+    # window sum over src (one edge-frame build, reused by every
+    # iteration). int64 sums are order-free, so the two constructions
+    # must be BIT-identical — this is the old construction, inlined,
+    # as the oracle.
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("a", "c", 1), ("b", "a", 2), ("c", "a", 5),
+            ("c", "b", 1), ("d", "a", 7), ("b", "d", 1), ("d", "b", 2),
+        ],
+        "src string, dst string, weight int",
+    )
+    got = _ranks(pagerank(edges, iterations=3, damping_pct=85, scale=10_000))
+
+    e = edges.select(
+        F.col("src").alias("_src"),
+        F.col("dst").alias("_dst"),
+        F.col("weight").cast("long").alias("_w"),
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    wout = e.groupBy("_src").agg(F.sum("_w").alias("_wt"))
+    ew = e.join(wout, on="_src")
+    base = (10_000 * (100 - 85)) // 100
+    ranks = nodes.select("node", F.lit(10_000).cast("long").alias("rank"))
+    for _ in range(3):
+        contrib = ew.join(
+            ranks.withColumnRenamed("node", "_src"), on="_src"
+        ).select(
+            F.col("_dst").alias("node"), F.expr("rank * _w div _wt").alias("_c")
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = nodes.join(incoming, on="node", how="left").select(
+            "node",
+            (F.lit(base) + F.expr("85 * coalesce(_s, 0L) div 100")).alias("rank"),
+        )
+    want = _ranks(ranks)
+    assert got == want
+
+
+def test_pagerank_outweight_is_windowed_not_joined(spark):
+    # plan pin for the r6 shape: the out-weight total must come from a
+    # Window over _src (reused by every iteration), not a groupBy +
+    # self-join that re-builds the edge frame with different pruning
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, weight int"
+    )
+    plan = pagerank(edges, iterations=1)._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(_src" in plan
