@@ -191,12 +191,32 @@ def tfidf_topk(
     occurrences, not corpus size; doc-frequency and the doc-count
     scalar are broadcast back; ranking uses :func:`grouped_topk`
     (no window over the raw per-doc counts)."""
-    hits = docs.select(
-        F.col(id_col), F.explode(word_tokens(text_col)).alias("term")
-    ).filter(F.col("term").isin(*terms))
+    # The explicit isNotNull is semantically a no-op (isin already
+    # drops NULL) but it is what lets the tf exchange be REUSED: the
+    # df branch's inner join pushes an isnotnull(term) below tf's
+    # aggregate while the top-k branch keeps it above its window, so
+    # without it the two consumers get different canonical subtrees
+    # and the tokenize+explode pass executes TWICE (executed-plan
+    # audit: 2 regexp sites -> 1 with this filter + the df shape
+    # below; exceptAll parity 0/0).
+    hits = (
+        docs.select(
+            F.col(id_col), F.explode(word_tokens(text_col)).alias("term")
+        )
+        .filter(F.col("term").isin(*terms))
+        .filter(F.col("term").isNotNull())
+    )
     tf = hits.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    # df == row count of tf per term, but written as sum(least(tf, 1))
+    # — identical since tf >= 1 — because a literal count(1) lets the
+    # optimizer PRUNE the tf aggregate out of this branch (count(tf)
+    # gets rewritten back to count(1) too), which again de-unifies the
+    # shared subtree and re-runs the scan. least(tf, 1) is not
+    # fold-proof-reducible without a tf >= 1 range fact the optimizer
+    # does not track, so the shared aggregate survives and the
+    # exchange is reused.
     dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+        F.sum(F.least(F.col("tf"), F.lit(1))).alias("df")
     )
     ndocs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     top = grouped_topk(
@@ -256,11 +276,19 @@ def inverted_index(
     gets. The posting string concatenates in (rank, doc) order, which
     is deterministic, so the result survives a cross-engine value
     hash."""
+    # isNotNull is a no-op on exploded tokens (never null) but aligns
+    # the totals branch (whose final join pushes isnotnull(term) below
+    # the aggregate) with the postings branch, so both consumers share
+    # ONE canonical tf subtree and the tokenize+explode pass runs once
+    # (executed-plan audit: 2 scans/2 regexp sites -> 1/1; exceptAll
+    # parity 0/0). totals' sum(_tf) already keeps the aggregate alive
+    # in its branch, so no df rewrite is needed here.
     tf = (
         docs.select(
             F.col(id_col).alias("_doc"),
             F.explode(word_tokens(text_col)).alias("term"),
         )
+        .filter(F.col("term").isNotNull())
         .groupBy("term", "_doc")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )

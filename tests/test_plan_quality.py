@@ -316,3 +316,22 @@ def test_query_plans_stay_jvm_side(spark, name):
     ):
         if pattern not in allowed:
             assert pattern not in plan, f"{name}: {pattern}"
+
+
+@pytest.mark.parametrize("name", ["tfidf", "inverted_index"])
+def test_corpus_tf_subtree_tokenizes_once(spark, name):
+    """r6 pin: the (term, doc) tf aggregate feeds two consumers (df /
+    totals and the top-k branch); with the isNotNull alignment (and
+    tfidf's fold-proof df aggregate) both share ONE canonical subtree,
+    so the tokenize+explode pass appears exactly once in the AQE-final
+    executed plan instead of once per consumer."""
+    df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    final = plan.split("Initial Plan")[0]
+    assert final.count("regexp_extract_all") == 1, final.count(
+        "regexp_extract_all"
+    )
+    assert "ReusedExchange" in final
