@@ -1774,8 +1774,25 @@ def q_ip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_range_join_long,
     )
 
-    t = _transcripts(spark, sf_dir).withColumn(
-        "src_ip", F.pmod(seeded_hash60(F.col("conv_id"), IP_SEED), F.lit(1 << 32))
+    # src_ip is a function of conv_id alone, so aggregate turns per
+    # conversation FIRST (a partial-agg groupBy that collapses ~10:1
+    # map-side before anything is shuffled), then hash and range-join
+    # only the conv rows: 10x fewer md5 evaluations and join probes,
+    # and the per-label distinct-conversation count becomes a plain
+    # row count (the distinct aggregate disappears — each conv is one
+    # row here). Same inner-join drop semantics per conv; output is
+    # row-identical (r6 interleaved A/B: parity 0/0, sf0.1 0.84->0.71,
+    # 10x replica 3.48->3.24 best — and at real scale the win is
+    # structural: the heavy per-turn stream never reaches the hash or
+    # the join).
+    t = _transcripts(spark, sf_dir)
+    convs = (
+        t.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .withColumn(
+            "src_ip",
+            F.pmod(seeded_hash60(F.col("conv_id"), IP_SEED), F.lit(1 << 32)),
+        )
     )
     dim = values_dim(
         spark,
@@ -1783,7 +1800,7 @@ def q_ip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_label string, ip_lo long, ip_hi long",
     )
     j = bucketed_range_join_long(
-        t,
+        convs,
         dim,
         value_col="src_ip",
         lo_col="ip_lo",
@@ -1792,8 +1809,8 @@ def q_ip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_span_buckets=64,
     )
     return j.groupBy("net_label").agg(
-        F.count(F.lit(1)).alias("n_turns"),
-        F.count_distinct(F.col("conv_id")).alias("n_convs"),
+        F.sum("_nt").alias("n_turns"),
+        F.count(F.lit(1)).alias("n_convs"),
     )
 
 
