@@ -335,3 +335,13 @@ def test_corpus_tf_subtree_tokenizes_once(spark, name):
         "regexp_extract_all"
     )
     assert "ReusedExchange" in final
+
+
+def test_ip_enrich_no_distinct_aggregate(spark):
+    """r6 pin: ip_enrich aggregates turns per conversation BEFORE the
+    hash + range join, so the per-label conversation count is a plain
+    row count — no count(distinct ...) (and its extra aggregate
+    pass) may reappear in the plan."""
+    df = entrymod.queries()["ip_enrich"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "distinct" not in plan.lower(), plan
